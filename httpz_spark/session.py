@@ -1,0 +1,77 @@
+"""SparkSession factory with the engine's recommended configs.
+
+Mirrors the production deployment story (``spark-submit --py-files
+httpz_spark.zip``, BASELINE.json:north_rule): when a session is built
+through :func:`get_spark`, the package zips itself and registers the zip
+via ``sc.addPyFile`` so executor Python workers can unpickle the engine's
+pandas UDFs regardless of the driver's cwd.
+
+Config choices (scale rationale):
+
+* AQE on (+ skew-join) — runtime re-planning for the dedup shuffle and
+  hot-host skew (SURVEY.md §4 O12).
+* Arrow enabled with a bounded batch size — fetch batches carry image
+  payloads (binary columns ~KBs-MBs each), so maxRecordsPerBatch stays
+  small to bound executor memory (SURVEY.md §7 hard part 5).
+* shuffle.partitions default tuned for local mode; clusters override.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip the httpz_spark package for --py-files / addPyFile shipping."""
+    dest_dir = dest_dir or tempfile.gettempdir()
+    zpath = os.path.join(dest_dir, "httpz_spark_pkg.zip")
+    root = os.path.dirname(_PKG_DIR)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                zf.write(full, os.path.relpath(full, root))
+    return zpath
+
+
+def get_spark(
+    app_name: str = "httpz_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for the engine and ship
+    the package to executors."""
+    master = master or os.environ.get("HTTPZ_SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers (the local-mode analogue
+    # of `spark-submit --py-files httpz_spark.zip`).  Idempotent.
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        # Session may pre-exist with the file already registered, or the
+        # package may already be importable on the executors' PYTHONPATH.
+        pass
+    return spark

@@ -1,0 +1,174 @@
+"""Kernel column expressions vs the reference behavioral model.
+
+Property-checks the native Spark expressions in httpz_spark.functions
+against httpz_spark.parity.refmodel (clean-room model of
+/root/reference/httpz_scanner semantics, line-cited there).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from httpz_spark.functions import text as T
+from httpz_spark.functions import urls as U
+from httpz_spark.parity import refmodel as R
+
+DOMAIN_CASES = [
+    "example.com",
+    "Example.COM",                # no case folding — parsers.py:38-74
+    " example.com ",
+    "example.com/",
+    "example.com///",
+    "https://example.com",
+    "http://example.com",
+    "https://example.com/path/x",
+    "example.com:8080",
+    "x.com:8080:9090",            # rsplit edge -> host x.com:8080, port 9090
+    "x.com:notaport",             # -> host kept whole, port None
+    "x.com:",
+    "http://UPPER.example.ORG:8443/a/b",
+    "[::1]:8080",
+    "",
+    "   ",
+    "https://",
+    "sub.domain.example.co.uk:65535/",
+]
+
+
+def test_domain_parts_matches_reference_model(spark):
+    df = spark.createDataFrame([(d,) for d in DOMAIN_CASES], "domain string")
+    rows = (
+        df.select("domain", U.domain_parts(F.col("domain")).alias("p"))
+        .select("domain", "p.base_domain", "p.port", "p.proto_first", "p.proto_second")
+        .collect()
+    )
+    for r in rows:
+        host, port, protos = R.parse_domain_url(r["domain"])
+        assert r["base_domain"] == host, r["domain"]
+        assert r["port"] == port, r["domain"]
+        assert [r["proto_first"], r["proto_second"]] == protos, r["domain"]
+
+
+def test_scan_url_format(spark):
+    df = spark.createDataFrame(
+        [("example.com:8080",), ("http://x.org",)], "domain string"
+    ).select(
+        "domain",
+        U.domain_parts(F.col("domain")).alias("p"),
+    )
+    out = df.select(
+        U.scan_url(F.col("p"), F.col("p.proto_first")).alias("u")
+    ).collect()
+    assert out[0]["u"] == "https://example.com:8080"
+    assert out[1]["u"] == "http://x.org"
+
+
+WS_CASES = [
+    "",
+    "   ",
+    "a  b\t\nc",
+    "a\u00a0\u00a0b",   # unicode NBSP (python \\s matches; needs (?U) in Java)
+    "x\r\n\r\ny",
+    "em\u2003space\u2009thin",
+    "tab\tsep",
+]
+
+
+def test_normalize_ws_matches_reference(spark):
+    df = spark.createDataFrame([(s,) for s in WS_CASES], "s string")
+    rows = df.select("s", T.normalize_ws(F.col("s")).alias("n")).collect()
+    for r in rows:
+        assert r["n"] == R.normalize_text(r["s"]), repr(r["s"])
+
+
+CANON_CASES = [
+    ("HTTPS://Example.COM/Path?b=2&a=1#frag", "https://example.com/Path?a=1&b=2"),
+    ("example.com", "https://example.com/"),
+    ("http://X.org:8080/a?z=1&y=2&x=3", "http://x.org:8080/a?x=3&y=2&z=1"),
+    ("https://h.test/img?single=1", "https://h.test/img?single=1"),
+    ("https://h.test/#only-frag", "https://h.test/"),
+    ("FTP://Mixed.Case/path", "ftp://mixed.case/path"),
+]
+
+
+def test_canonicalize_url(spark):
+    df = spark.createDataFrame([(a,) for a, _ in CANON_CASES], "u string")
+    rows = df.select(U.canonicalize_url(F.col("u")).alias("c")).collect()
+    for (raw, want), r in zip(CANON_CASES, rows):
+        assert r["c"] == want, raw
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame([(a,) for a, _ in CANON_CASES], "u string")
+    once = df.select(U.canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(U.canonicalize_url(F.col("c")).alias("c2"), "c")
+    for r in twice.collect():
+        assert r["c2"] == r["c"]
+
+
+def test_url_host_and_depth(spark):
+    df = spark.createDataFrame(
+        [("https://h1.test:8080/a/b/c?q=1",), ("https://h2.test/",)], "c string"
+    )
+    rows = df.select(
+        U.url_host(F.col("c")).alias("h"), U.url_depth(F.col("c")).alias("d")
+    ).collect()
+    assert rows[0]["h"] == "h1.test:8080" and rows[0]["d"] == 3
+    assert rows[1]["h"] == "h2.test" and rows[1]["d"] == 0
+
+
+def test_status_code_sets():
+    # parsers.py:257-274 — inclusive ranges.
+    assert R.parse_status_codes("200,301-303,500") == {200, 301, 302, 303, 500}
+    assert R.parse_status_codes("200") == {200}
+    with pytest.raises(ValueError):
+        R.parse_status_codes("nope")
+
+
+def test_status_filters(spark):
+    codes = R.parse_status_codes("200,301-303")
+    df = spark.createDataFrame([(200,), (301,), (404,), (-1,)], "status int")
+    kept = df.filter(T.status_isin(F.col("status"), codes)).collect()
+    assert sorted(r["status"] for r in kept) == [200, 301]
+    # match_codes silently drops error rows (status=-1) — scanner.py:450-451
+    assert -1 not in [r["status"] for r in kept]
+    excl = df.filter(T.status_not_excluded(F.col("status"), {404})).collect()
+    assert sorted(r["status"] for r in excl) == [-1, 200, 301]
+
+
+def test_shard_semantics(spark):
+    # Blank lines consume line numbers — utils.py:214-216.
+    lines = ["a.com", "", "b.com", "  ", "c.com", "d.com", "", "e.com"]
+    rows = [(i, s) for i, s in enumerate(lines)]
+    df = spark.createDataFrame(rows, "line_num long, raw string")
+    for total in (1, 2, 3, 7):
+        for idx in range(total):
+            got = (
+                df.filter(T.nonblank(F.col("raw")))
+                .filter(T.shard_keep(F.col("line_num"), idx, total))
+                .select(F.trim("raw").alias("d"))
+                .collect()
+            )
+            want = R.input_lines(lines, (idx, total))
+            assert sorted(r["d"] for r in got) == sorted(want), (idx, total)
+
+
+def test_parse_shard():
+    assert R.parse_shard("1/3") == (0, 3)
+    assert R.parse_shard("3/3") == (2, 3)
+    with pytest.raises(ValueError):
+        R.parse_shard("4/3")
+
+
+def test_human_size(spark):
+    cases = [0, 1, 512, 1023, 1024, 1536, 10 * 1024**2, 3 * 1024**3, None]
+    df = spark.createDataFrame([(c,) for c in cases], "b long")
+    rows = df.select(T.human_size(F.col("b")).alias("h")).collect()
+    for c, r in zip(cases, rows):
+        want = R.human_size(c) if c is not None else "0B"
+        assert r["h"] == want, c
+
+
+def test_truncate(spark):
+    df = spark.createDataFrame([("x" * 2000,)], "s string")
+    out = df.select(F.length(T.truncate_chars(F.col("s"), 1024)).alias("n")).collect()
+    assert out[0]["n"] == 1024
