@@ -1,0 +1,75 @@
+"""Engine configuration.
+
+``ScanConfig`` mirrors the reference constructor knob-for-knob
+(``/root/reference/httpz_scanner/scanner.py:61-137``) so the parity harness
+can run both sides from one config; ``EngineConfig`` adds the distributed
+frontier knobs the north_rule introduces (waves, politeness budgets,
+partitioning, bloom sizing) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScanConfig:
+    # scanner.py:61-67
+    concurrent_limit: int = 100
+    timeout: float = 5.0
+    retries: int = 1
+    retry_backoff: float = 0.5     # simulated in the fabric (no real sleeps)
+    max_redirects: int = 10
+    follow_redirects: bool = True
+    # feature toggles — scanner.py:69-78 (default OFF in the reference;
+    # tests flip them all on like unit_test.py:69-86 does)
+    fetch_headers: bool = False
+    fetch_content_type: bool = False
+    fetch_content_length: bool = False
+    fetch_title: bool = False
+    fetch_body: bool = False
+    fetch_favicon: bool = False
+    fetch_tls: bool = False
+    fetch_ips: bool = False
+    fetch_cname: bool = False
+    # filtering / misc — scanner.py:79-86
+    match_codes: frozenset | None = None
+    exclude_codes: frozenset | None = None
+    shard: tuple | None = None
+
+    @property
+    def needs_body(self) -> bool:
+        # scanner.py:139
+        return self.fetch_title or self.fetch_body or self.fetch_favicon
+
+    @staticmethod
+    def all_on(**overrides) -> "ScanConfig":
+        base = dict(
+            fetch_headers=True,
+            fetch_content_type=True,
+            fetch_content_length=True,
+            fetch_title=True,
+            fetch_body=True,
+            fetch_favicon=True,
+            fetch_tls=True,
+            fetch_ips=True,
+            fetch_cname=True,
+        )
+        base.update(overrides)
+        return ScanConfig(**base)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Distributed-frontier knobs (new; no reference equivalent)."""
+
+    partitions: int = 32             # url_hash shuffle width (cluster: cores*2+)
+    wave_limit: int | None = None    # global per-wave URL cap (O1 analogue)
+    per_host_budget: int = 100       # politeness: max URLs per host per wave
+    max_depth: int = 3               # frontier link-following depth cap
+    hot_host_threshold: int = 64     # rows/host above which fetch salting kicks in
+    salt_buckets: int = 8            # fetch-stage salt fan-out for hot hosts
+    bloom_bits_per_key: int = 10     # per-partition bloom sizing (~1% FP)
+    bloom_num_hashes: int = 7
+    include_payload: bool = True     # carry image payload columns into results
+    state_dir: str = "/tmp/httpz_spark_state"
