@@ -36,11 +36,14 @@ class ScanConfig:
     match_codes: frozenset | None = None
     exclude_codes: frozenset | None = None
     shard: tuple | None = None
+    # engine extension (NOT in the reference, which never follows links):
+    # emit discovered <a href> outlinks for the frontier's next wave
+    discover_links: bool = False
 
     @property
     def needs_body(self) -> bool:
-        # scanner.py:139
-        return self.fetch_title or self.fetch_body or self.fetch_favicon
+        # scanner.py:139 (+ engine link discovery)
+        return self.fetch_title or self.fetch_body or self.fetch_favicon or self.discover_links
 
     @staticmethod
     def all_on(**overrides) -> "ScanConfig":

@@ -39,7 +39,8 @@ RESULT_COLUMNS = (
     "body_clean string, favicon_hash string, "
     "tls struct<fingerprint:string,subject:string,issuer:string,email:string,"
     "alt_names:array<string>,not_before:string,not_after:string>, "
-    "error string, error_type string, latency_ms double, attempts int"
+    "error string, error_type string, latency_ms double, attempts int, "
+    "discovered array<string>"
 )
 
 
@@ -55,6 +56,7 @@ def _empty_result() -> dict:
         "redirect_chain": None, "title": None, "body_preview": None,
         "body_clean": None, "favicon_hash": None, "tls": None,
         "error": None, "error_type": None, "latency_ms": 0.0, "attempts": 0,
+        "discovered": None,
     }
 
 
@@ -109,6 +111,10 @@ def _fetch_one(
             out["title"] = R.parse_title(html_text, resp.headers.get("Content-Type"))
         if cfg.fetch_favicon and resp.status is not None:
             out["favicon_hash"] = _favicon(transport, resp.url, html_text, protocol, cfg)
+        if cfg.discover_links and resp.status == 200:
+            from httpz_spark.functions.htmlx import extract_links
+
+            out["discovered"] = extract_links(html_text, resp.url)
     return out
 
 

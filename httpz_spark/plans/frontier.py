@@ -1,0 +1,275 @@
+"""The distributed URL-frontier crawl engine — iterative batch waves.
+
+Replaces the reference's bounded asyncio queue + FIRST_COMPLETED pump
+(``/root/reference/httpz_scanner/scanner.py:382-464``) with checkpointed
+DataFrame waves (SURVEY.md §3.4):
+
+    wave k:  frontier --in-wave dedup--> bloom+anti-join vs seen
+             --politeness window (broadcast robots)--> scheduled | deferred
+             --salted repartition--> mapInPandas fetch
+             --> MERGE results/seen, frontier(k+1) = deferred + discovered
+
+Exactly-once resume (north_rule "a killed job resumes exactly"):
+
+* each wave first materializes its full fetch output as an atomic staging
+  snapshot (``wave<k>_out`` / ``wave<k>_deferred``), THEN applies merges
+  *from the staging snapshot*;
+* the lineage row for wave k is the commit marker — written last;
+* a kill at any point re-runs wave k: staging is either rebuilt (the fetch
+  fabric is deterministic) or reused; merge_upsert on url_hash is
+  idempotent, so the final tables are byte-identical to an uninterrupted
+  run (tested in tests/test_frontier.py).
+
+Deterministic crawl order = (wave_id, priority, url_hash); priority = depth
+(BFS).  All per-wave metrics land in the ``lineage`` table.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from httpz_spark.config import EngineConfig, ScanConfig
+from httpz_spark.functions import urls as U
+from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
+from httpz_spark.operators.frontier_dedup import dedup_unseen
+from httpz_spark.operators.politeness import politeness_schedule, salted_repartition
+from httpz_spark.plans.scan import PASSTHROUGH, PAYLOAD, make_url_hash64_udf
+from httpz_spark.plans.statestore import StateStore
+from httpz_spark.sources.fabric import FabricConfig, page_image_id
+
+FRONTIER_COLS = [
+    "url_canon", "url_hash", "host", "path", "scheme", "depth", "priority", "wave_id",
+]
+
+
+def make_page_image_udf(fabric_cfg: FabricConfig):
+    @pandas_udf("string")
+    def page_image_udf(host: pd.Series, path: pd.Series) -> pd.Series:
+        out = []
+        for hp, p in zip(host, path):
+            if hp is None:
+                out.append(None)
+                continue
+            bare = hp.rsplit(":", 1)[0] if ":" in hp and hp.rsplit(":", 1)[1].isdigit() else hp
+            out.append(page_image_id(bare, p or "/", fabric_cfg))
+        return pd.Series(out, dtype="object")
+
+    return page_image_udf
+
+
+def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame, wave_id: int) -> DataFrame:
+    """Canonicalize raw URLs into frontier rows — all native expressions
+    except the 64-bit identity hash (Arrow-batched murmur3)."""
+    canon = U.canonicalize_url(F.col(url_col))
+    depth_col = F.lit(depth) if isinstance(depth, int) else depth
+    out = df.select(canon.alias("url_canon"), depth_col.cast("int").alias("_depth"))
+    out = out.filter(F.col("url_canon").isNotNull() & (F.col("url_canon") != ""))
+    out = (
+        out.withColumn("url_hash", make_url_hash64_udf()(F.col("url_canon")))
+        .withColumn("host", U.url_host(F.col("url_canon")))
+        .withColumn(
+            "path",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        "url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+                    ),
+                    F.lit(""),
+                ),
+                F.lit("/"),
+            ),
+        )
+        .withColumn(
+            "scheme", F.regexp_extract("url_canon", r"^([a-z][a-z0-9+.\-]*)://", 1)
+        )
+    )
+    return (
+        out.withColumnRenamed("_depth", "depth")
+        .withColumn("priority", F.col("depth").cast("long"))
+        .withColumn("wave_id", F.lit(wave_id).cast("int"))
+        .select(*FRONTIER_COLS)
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        images: DataFrame,
+        dns: DataFrame | None,
+        robots: DataFrame | None,
+        scan_cfg: ScanConfig,
+        engine_cfg: EngineConfig,
+        fabric_cfg: FabricConfig,
+        state_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.images = images
+        self.dns = dns
+        self.robots = robots
+        self.scan_cfg = scan_cfg
+        self.engine_cfg = engine_cfg
+        self.fabric_cfg = fabric_cfg
+        self.store = StateStore(spark, state_dir or engine_cfg.state_dir)
+
+    # -- lifecycle ------------------------------------------------------------
+    def init_frontier(self, seed_urls: DataFrame, url_col: str = "raw") -> None:
+        """Seeds -> frontier wave 0 (idempotent: no-op if state exists)."""
+        if self.store.exists("frontier"):
+            return
+        frontier = urls_to_frontier(seed_urls, url_col, depth=0, wave_id=0)
+        frontier = frontier.dropDuplicates(["url_hash"])
+        self.store.write("frontier", frontier)
+
+    def committed_waves(self) -> set:
+        lineage = self.store.read("lineage")
+        if lineage is None:
+            return set()
+        return {r["wave_id"] for r in lineage.select("wave_id").distinct().collect()}
+
+    def crawl(self, max_waves: int = 10) -> DataFrame:
+        """Drain the frontier (or hit max_waves); returns the results table.
+        Safe to call again after a kill — committed waves are skipped, the
+        in-flight wave re-runs idempotently."""
+        done = self.committed_waves()
+        wave = (max(done) + 1) if done else 0
+        while wave < max_waves:
+            stats = self.run_wave(wave)
+            if stats["n_ready"] == 0:
+                break
+            wave += 1
+        return self.store.read("results")
+
+    # -- one wave ---------------------------------------------------------------
+    def run_wave(self, wave_id: int) -> dict:
+        if wave_id in self.committed_waves():
+            return {"n_ready": -1, "skipped": True, "wave_id": wave_id}
+
+        ecfg, scfg = self.engine_cfg, self.scan_cfg
+        t0 = time.time()
+        frontier = self.store.read("frontier")
+        if frontier is None:
+            raise RuntimeError("init_frontier() first")
+        n_ready = frontier.count()
+        if n_ready == 0:
+            self._commit_lineage(wave_id, n_ready, 0, 0, 0, {}, t0)
+            return {"n_ready": 0, "wave_id": wave_id}
+
+        staging_out = f"wave{wave_id}_out"
+        staging_def = f"wave{wave_id}_deferred"
+        if not self.store.exists(staging_out):
+            scheduled, deferred = self._schedule(frontier)
+            # deferred first; staging_out is the completion marker
+            self.store.write(staging_def, deferred.select(*FRONTIER_COLS))
+            self.store.write(staging_out, self._fetch(scheduled, wave_id))
+
+        out = self.store.read(staging_out)
+        deferred = self.store.read(staging_def)
+
+        # MERGE results + seen (idempotent on url_hash)
+        self.store.merge_upsert("results", out, key="url_hash")
+        seen_rows = out.select(
+            "url_hash", "url_canon", F.lit(wave_id).alias("first_wave")
+        )
+        self.store.merge_upsert("seen", seen_rows, key="url_hash")
+
+        # frontier(k+1) = deferred + discovered (depth-capped, in-wave deduped)
+        next_frontier = deferred
+        if scfg.discover_links:
+            discovered = (
+                out.filter(F.col("discovered").isNotNull() & (F.col("depth") < ecfg.max_depth))
+                .select(F.col("depth").alias("_pd"), F.explode("discovered").alias("u"))
+            )
+            disc_frontier = urls_to_frontier(
+                discovered, "u", depth=F.col("_pd") + 1, wave_id=wave_id + 1
+            )
+            next_frontier = next_frontier.unionByName(disc_frontier)
+        next_frontier = next_frontier.dropDuplicates(["url_hash"])
+        self.store.write("frontier", next_frontier)
+
+        errs = {
+            r["error_type"]: r["n"]
+            for r in out.groupBy("error_type").agg(F.count("*").alias("n")).collect()
+            if r["error_type"] is not None
+        }
+        n_fetched = out.count()
+        n_deferred = deferred.count()
+        self._commit_lineage(wave_id, n_ready, n_fetched, n_deferred, n_fetched, errs, t0)
+        return {
+            "wave_id": wave_id, "n_ready": n_ready, "n_fetched": n_fetched,
+            "n_deferred": n_deferred, "errors": errs, "secs": time.time() - t0,
+        }
+
+    # -- stages -------------------------------------------------------------------
+    def _schedule(self, frontier: DataFrame) -> tuple:
+        ecfg = self.engine_cfg
+        ready = frontier.dropDuplicates(["url_hash"])
+        seen = self.store.read("seen")
+        unseen = dedup_unseen(
+            ready, seen, ecfg.partitions, bits_per_key=ecfg.bloom_bits_per_key
+        )
+        ranked = politeness_schedule(
+            unseen, self.robots, default_budget=ecfg.per_host_budget
+        )
+        scheduled = ranked.filter(F.col("scheduled")).drop("scheduled", "sched_rank")
+        deferred = ranked.filter(~F.col("scheduled")).drop("scheduled", "sched_rank")
+        if ecfg.wave_limit is not None:
+            scheduled = scheduled.orderBy("priority", "url_hash").limit(ecfg.wave_limit)
+        return scheduled, deferred
+
+    def _fetch(self, scheduled: DataFrame, wave_id: int) -> DataFrame:
+        ecfg, scfg = self.engine_cfg, self.scan_cfg
+        # scan target = canonical URL minus the scheme (host + path + query);
+        # the fetch stage re-prefixes the protocol under test
+        df = scheduled.withColumn(
+            "scan_target",
+            F.regexp_replace(F.col("url_canon"), r"^[a-z][a-z0-9+.\-]*://", ""),
+        ).withColumn("port", F.lit(None).cast("int"))
+        df = df.withColumn(
+            "proto_first",
+            F.when(F.col("scheme") == "http", F.lit("http")).otherwise(F.lit("https")),
+        ).withColumn(
+            "proto_second",
+            F.when(F.col("scheme") == "http", F.lit("https")).otherwise(F.lit("http")),
+        )
+        page_image_udf = make_page_image_udf(self.fabric_cfg)
+        df = df.withColumn("image_id", page_image_udf(F.col("host"), F.col("path")))
+        df = df.join(F.broadcast(self.images), "image_id", "left")
+
+        passthrough = [
+            ("url_canon", "string"), ("url_hash", "long"), ("host", "string"),
+            ("path", "string"), ("depth", "int"), ("priority", "long"),
+            ("image_id", "string"),
+        ] + (PAYLOAD if ecfg.include_payload else [])
+        pass_names = [n for n, _t in passthrough]
+        pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
+
+        df = salted_repartition(df, ecfg.partitions, ecfg.salt_buckets)
+        stage = make_fetch_stage(scfg, self.fabric_cfg, pass_names)
+        fetch_in = df.select(
+            *pass_names, "scan_target", "port", "proto_first", "proto_second",
+            *([] if ecfg.include_payload else [n for n, _ in PAYLOAD]),
+        )
+        out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
+        return out.withColumn("wave_id", F.lit(wave_id).cast("int"))
+
+    def _commit_lineage(self, wave_id, n_ready, n_scheduled, n_deferred, n_fetched, errs, t0):
+        t1 = time.time()
+        row = [
+            (
+                int(wave_id), int(n_ready), int(n_scheduled), int(n_deferred),
+                int(n_fetched), errs, float(t0), float(t1),
+                float(n_fetched / (t1 - t0)) if t1 > t0 else 0.0,
+            )
+        ]
+        schema = (
+            "wave_id int, n_ready long, n_scheduled long, n_deferred long, "
+            "n_fetched long, errors_by_type map<string,long>, t_start double, "
+            "t_end double, urls_per_sec double"
+        )
+        self.store.append("lineage", self.spark.createDataFrame(row, schema))
