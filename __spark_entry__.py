@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator kernel from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable over the driver's TPC-H-ish tables;
+`oracle_sql()` gives the DuckDB-equivalent ANSI SQL (same column names —
+the driver compares row-count + schema + order-insensitive value hash).
+Crawl-engine queries that exercise the synthetic web fabric are rows-only
+(no SQL equivalent).  Kernel -> query mapping follows FIXTURES.md §6.
 """
 
 from __future__ import annotations
@@ -12,27 +13,528 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a full single-wave crawl (parse -> CNAME -> dedup-ready
+    frontier -> politeness-shaped fetch -> enrichment) over a synthetic web
+    sized from the sf0.001 documents table."""
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.plans.scan import scan_plan
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = _t(spark, sf_dir, "documents").count()
+    world = FB.FabricConfig(n_images=min(64, max(16, n_docs // 8)), n_hosts=16).with_certs()
+    seeds = S.seeds_df(spark, S.seed_domain_lines(world))
+    images = S.images_df(spark, world, partitions=4)
+    dns = S.dns_df(spark, world)
+    res = scan_plan(spark, seeds, images, dns, ScanConfig.all_on(), world,
+                    include_payload=False)
+    return res.select(
+        "domain", "url", "status", "protocol", "content_type", "title",
+        "body_preview", "favicon_hash", "ips", "cname_chain", "error_type",
+        "url_hash",
+    ).orderBy("url_hash")
+
+
+# ---------------------------------------------------------------------------
+# contract queries (SURVEY §2 kernels over driver tables) + oracles
+# ---------------------------------------------------------------------------
+
+# DuckDB-side ASCII whitespace collapse (needs explicit /g flag).  The
+# Spark side uses functions.text.normalize_ws_ascii — NOT F.expr: Spark SQL
+# string literals interpret backslash escapes differently (\f is not a
+# recognized escape and degrades to a literal 'f').
+_NORM_DUCK = "trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _norm_col():
+    from httpz_spark.functions.text import normalize_ws_ascii
+
+    return normalize_ws_ascii(F.col("text"))
+
+
+def q_shard_filter(spark, sf_dir):
+    # A2: line-modulo shard on a persisted line identity (orderkey*8+linenumber)
+    li = _t(spark, sf_dir, "lineitem")
+    line = li["l_orderkey"] * 8 + li["l_linenumber"]
+    return li.filter(F.pmod(line, F.lit(7)) == 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_status_match_filter(spark, sf_dir):
+    # A5/A6: match/exclude sets + value range
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").between(10, 500)
+        & ~F.col("event_type").isin("error")
+    ).select("event_id", "event_type", "value")
+
+
+def q_ws_normalize(spark, sf_dir):
+    # A8 (ASCII class so the oracle regex is bit-identical)
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm_col()
+    return d.select("doc_id", norm.alias("norm_text"),
+                    F.length(norm).cast("long").alias("n_norm"))
+
+
+def q_preview_truncate(spark, sf_dir):
+    # A9-A11 truncation caps
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm_col()
+    return d.select("doc_id", F.substring(norm, 1, 120).alias("preview"),
+                    F.length(F.substring(norm, 1, 120)).cast("long").alias("preview_len"))
+
+
+def q_sorted_distinct_agg(spark, sf_dir):
+    # A18: sorted(set(...)) per key
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    # the per-host politeness window on driver data
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "value", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    # frontier-vs-seen dedup shape: orders with no lineitem
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+def q_robots_broadcast_join(spark, sf_dir):
+    # robots-table shape: two broadcast dim joins + rollup
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+def q_lineage_agg(spark, sf_dir):
+    # lineage/metrics rollup shape
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def q_hash_partition_dist(spark, sf_dir):
+    # O8: partition-routing distribution (multiplicative hash, SQL-portable)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(((F.col("c_custkey") * 2654435761) % 32).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    # north-star canonicalizer on synthesized messy URLs
+    from httpz_spark.functions.urls import canonicalize_url
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("HTTPS://H"), (F.col("o_orderkey") % 50).cast("string"),
+        F.lit(".Example.COM/p/"), F.col("o_orderkey").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    return o.select("o_orderkey", canonicalize_url(url).alias("canon"))
+
+
+def q_domain_parse(spark, sf_dir):
+    # A7 reference-exact domain parse on synthesized messy domains
+    from httpz_spark.functions.urls import domain_parts
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dom = (
+        F.when(k % 4 == 0, F.concat(F.lit("http://Host"), k.cast("string"), F.lit(".COM:8080")))
+        .when(k % 4 == 1, F.concat(F.lit("Host"), k.cast("string"), F.lit(".org/")))
+        .when(k % 4 == 2, F.concat(F.lit("  host"), k.cast("string"), F.lit(".net:notaport  ")))
+        .otherwise(F.concat(F.lit("https://H"), k.cast("string"), F.lit(".io")))
+    )
+    p = domain_parts(dom)
+    return c.select(
+        "c_custkey", p.getField("base_domain").alias("host"),
+        p.getField("port").alias("port"), p.getField("proto_first").alias("proto_first"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from httpz_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    # token counting + quality scoring (SQL-replayable formulas)
+    from httpz_spark.operators.textstats import (
+        bpe_ish_token_count, punct_ratio, quality_score, token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from httpz_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    from httpz_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.2).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    from httpz_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(e, queries, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rank").cast("long").alias("rank"))
+
+
+# ---- rows-only queries (non-SQL-expressible: murmur3/xxhash64 UDF kernels,
+# ---- the synthetic web fabric, iterative wave state) ----------------------
+
+def q_minhash_lsh_dups(spark, sf_dir):
+    from httpz_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.2).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from httpz_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from httpz_spark.operators.dedup import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.limit(3).select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    return embedding_near_pairs(e.unionByName(dup), threshold=0.999).select(
+        "a", "b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from httpz_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(e, queries, k=3, planes=6).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def q_crawl_single_wave(spark, sf_dir):
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.plans.scan import scan_plan
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=48, n_hosts=12).with_certs()
+    seeds = S.seeds_df(spark, S.seed_domain_lines(world))
+    res = scan_plan(
+        spark, seeds, S.images_df(spark, world, 4), S.dns_df(spark, world),
+        ScanConfig.all_on(), world, include_payload=False,
+    )
+    return res.select(
+        "domain", "url", "status", "protocol", "title", "favicon_hash",
+        "error_type", "url_hash",
+    ).orderBy("url_hash")
+
+
+def q_frontier_crawl(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from httpz_spark.config import EngineConfig, ScanConfig
+    from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=32, n_hosts=8).with_certs()
+    state = tempfile.mkdtemp(prefix="httpz_entryq_")
+    try:
+        eng = CrawlEngine(
+            spark, S.images_df(spark, world, 2), S.dns_df(spark, world),
+            S.robots_df(spark, world), ScanConfig.all_on(discover_links=True),
+            EngineConfig(partitions=8, per_host_budget=4, max_depth=1, salt_buckets=4),
+            world, state_dir=state,
+        )
+        eng.init_frontier(S.seeds_df(spark, S.seed_url_lines(world)))
+        eng.crawl(max_waves=2)
+        res = eng.store.read("results").select(
+            "url_canon", "url_hash", "status", "protocol", "wave_id", "depth"
+        )
+        res = spark.createDataFrame(res.collect(), res.schema)  # detach from state dir
+        return res.orderBy("wave_id", "url_hash")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from httpz_spark.operators.multimodal import decode_stats
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=32, n_hosts=8)
+    return decode_stats(S.images_df(spark, world, 2)).select(
+        "image_id", "w", "h", "fmt", "decode_ok",
+        F.round("mean_lum", 4).alias("mean_lum"), "phash_check",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # kernels (oracled)
+        "shard_filter": q_shard_filter,
+        "status_match_filter": q_status_match_filter,
+        "ws_normalize": q_ws_normalize,
+        "preview_truncate": q_preview_truncate,
+        "sorted_distinct_agg": q_sorted_distinct_agg,
+        "politeness_topk": q_politeness_topk,
+        "seen_antijoin": q_seen_antijoin,
+        "robots_broadcast_join": q_robots_broadcast_join,
+        "lineage_agg": q_lineage_agg,
+        "hash_partition_dist": q_hash_partition_dist,
+        "url_canonicalize": q_url_canonicalize,
+        "domain_parse": q_domain_parse,
+        # training-data pipeline (oracled)
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (murmur3/xxhash64 kernels, fabric, iterative state)
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "crawl_single_wave": q_crawl_single_wave,
+        "frontier_crawl": q_frontier_crawl,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "shard_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE (l_orderkey * 8 + l_linenumber) % 7 = 3
+        """,
+        "status_match_filter": """
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+              AND value BETWEEN 10 AND 500
+              AND event_type NOT IN ('error')
+        """,
+        "ws_normalize": f"""
+            SELECT doc_id, {_NORM_DUCK} AS norm_text, length({_NORM_DUCK}) AS n_norm
+            FROM documents
+        """,
+        "preview_truncate": f"""
+            SELECT doc_id, substr({_NORM_DUCK}, 1, 120) AS preview,
+                   length(substr({_NORM_DUCK}, 1, 120)) AS preview_len
+            FROM documents
+        """,
+        "sorted_distinct_agg": """
+            SELECT user_id,
+                   array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        "politeness_topk": """
+            SELECT event_id, user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+            FROM events
+            QUALIFY rn <= 3
+        """,
+        "seen_antijoin": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "robots_broadcast_join": """
+            SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "lineage_agg": """
+            SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "hash_partition_dist": """
+            SELECT (c_custkey * 2654435761) % 32 AS bucket, count(*) AS n
+            FROM customer GROUP BY bucket
+        """,
+        "url_canonicalize": """
+            SELECT o_orderkey,
+                   'https://h' || (o_orderkey % 50) || '.example.com/p/' || o_orderkey
+                   || '?a=1&b=2' AS canon
+            FROM orders
+        """,
+        "domain_parse": """
+            SELECT c_custkey,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'Host' || c_custkey || '.COM'
+                     WHEN 1 THEN 'Host' || c_custkey || '.org'
+                     WHEN 2 THEN 'host' || c_custkey || '.net:notaport'
+                     ELSE 'H' || c_custkey || '.io' END AS host,
+                   CASE c_custkey % 4 WHEN 0 THEN 8080 ELSE NULL END AS port,
+                   CASE c_custkey % 4 WHEN 0 THEN 'http' ELSE 'https' END AS proto_first
+            FROM customer
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_NORM_DUCK_LOWER}) AS text_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text_hash
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN {_NORM_DUCK} = '' THEN 0
+                        ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   round((length(text) - length(regexp_replace(text,
+                        '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(
+                     (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                           WHEN length(text) > 2000 THEN 0.7
+                           ELSE length(text) / 100.0 END) * 0.4
+                   + (CASE WHEN p <= 0.1 THEN 1.0
+                           ELSE greatest(0.0, 1.0 - (p - 0.1) * 5.0) END) * 0.3
+                   + least(1.0, s * 10.0) * 0.3, 6) AS quality
+            FROM (
+              SELECT *,
+                (length(text) - length(regexp_replace(text,
+                    '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                    / greatest(length(text), 1) AS p,
+                len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                    x -> x IN ('the','and','of','to','is'))) * 1.0
+                    / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s
+              FROM documents
+            )
+        """,
+        "lang_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                    x -> x IN ('the','and','of','to','is'))) AS en,
+                len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                    x -> x IN ('der','die','und','ist','das'))) AS de,
+                len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                    x -> x IN ('el','la','los','es','una'))) AS es,
+                len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                    x -> x IN ('le','la','les','est','une'))) AS fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, es, fr) THEN 'en'
+                        WHEN de = greatest(en, de, es, fr) THEN 'de'
+                        WHEN es = greatest(en, de, es, fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM c
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          ELSE array_to_string(ws, ' ') END AS shingle
+              FROM w, unnest(range(1, greatest(len(ws) - 1, 2))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.a, c.b,
+                   round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.a
+            JOIN sizes sb ON sb.doc_id = c.b
+            WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
+        """,
+        "cosine_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+            QUALIFY rank <= 5
+        """,
+    }
+
+
+_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"

@@ -1,0 +1,253 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, each chosen for a different scale/recall trade-off:
+
+* :func:`exact_dedup` — hash-groupBy on normalized text.  One shuffle on a
+  16-byte key; the baseline every other method is measured against.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding.  Signatures are **pure native aggregations**: shingle -> one
+  xxhash64 (JVM) -> NUM_HASHES min-aggregations of universal-hash permuted
+  values; banding explodes to (band, band_hash) bucket keys and candidate
+  pairs come from an equi self-join on the bucket — no pairwise n² work.
+* :func:`simhash64` — 64-bit SimHash via per-bit vote aggregation (native
+  bit ops, no UDF); near-dups = band-equal + hamming<=k verify.
+* :func:`ngram_jaccard_pairs` — exact word-k-gram Jaccard via explode +
+  equi-join + count ratio; doubles as the verifier for MinHash candidates.
+
+All operators shuffle only on equi-keys (shingle / bucket / pair), so they
+survive 100× scale-up with partitions scaled accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from httpz_spark.functions.text import normalize_ws_ascii
+
+# deterministic universal-hash parameters (Carter-Wegman over a Mersenne
+# prime).  2^31-1 keeps a*h+b < 2^62 — no int64 overflow under ANSI mode;
+# 31-bit permutation space is ample for minhash (collisions only perturb
+# the estimate, and only at ~n/2^31 rates).
+_P = (1 << 31) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> list:
+    params = []
+    x = seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        params.append((a, b))
+    return params
+
+
+def normalized_text(text_col):
+    return normalize_ws_ascii(F.lower(text_col))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: representative id + dup count."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) word-k-grams of the normalized text — the shared
+    substrate for minhash and exact jaccard."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — min over permuted shingle hashes, computed as
+    NUM_HASHES native min-aggregations of ``(a*h + b) % P`` where
+    h = xxhash64(shingle).  One shuffle (groupBy id)."""
+    sh = word_shingles(docs, text_col, id_col, shingle_k)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs (a < b) via LSH banding + exact Jaccard verification.
+    Candidate generation never does n² work: pairs come from an equi
+    self-join on (band, band_hash)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_k: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over ALL co-shingled pairs (no LSH): explode
+    -> equi-join on shingle -> pair counts.  Cost scales with shingle
+    collision counts, not n² — fine when shingles are discriminative."""
+    sh = word_shingles(docs, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact jaccard for given candidate (a,b) pairs via shingle joins."""
+    sh = word_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    common = (
+        pairs.select("a", "b")
+        .join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingle", "s1"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("shingle", "s2"), "b")
+        .filter(F.col("s1") == F.col("s2"))  # merged into the join by Catalyst
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash, fully native: explode words,
+    per-bit +/-1 votes aggregated with bit arithmetic (no Python)."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """popcount(a XOR b) — native bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4x16-bit chunks (hamming<=3 ->
+    at least one chunk identical by pigeonhole) then exact hamming verify."""
+    sig = simhash64(docs, text_col, id_col)
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("c"),
+                         F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.c", "ch.v")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket join +
+    exact cosine verify (native zip_with/aggregate arithmetic)."""
+    from httpz_spark.operators.similarity import cosine_expr, hyperplane_signature
+
+    sig = hyperplane_signature(emb, vec_col, planes=planes, seed=seed)
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (
+        l.join(r, (F.col("l.sig") == F.col("r.sig"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+            cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+    )
+    return cand.filter(F.col("cos_sim") >= threshold)

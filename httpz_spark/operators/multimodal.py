@@ -1,0 +1,175 @@
+"""Multimodal (binary-payload) operators.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+(the input_hint table shape).  Decode / feature-extract / resize run as
+``mapInPandas`` stages: Arrow moves the bytes in batches, numpy does the
+math, and the Spark-side plumbing (schema, partitioning, batch shape) is
+real and tested even where an actual codec is stubbed.
+
+Stub policy (no PIL/ffmpeg in this container):
+* PNG + the deterministic fake-lossy container decode for real
+  (:mod:`httpz_spark.codecs.images`);
+* true JPEG/video decode raises NotImplementedError inside the codec; the
+  operator catches it per row and emits ``decode_ok = false`` — a poison
+  byte-blob never kills the task;
+* :func:`frame_sample` (video) is a clearly-marked deterministic stub that
+  samples byte-strided pseudo-frames, preserving the real operator's
+  schema and batch discipline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODE_STATS_SCHEMA = (
+    "image_id string, w int, h int, fmt string, decode_ok boolean, "
+    "mean_lum double, std_lum double, phash_check long"
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload and emit pixel statistics + recomputed phash
+    (validates bytes -> pixels round trip at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from httpz_spark.codecs.images import average_hash, decode_image
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                row = {
+                    "image_id": r.image_id, "w": r.w, "h": r.h, "fmt": r.fmt,
+                    "decode_ok": False, "mean_lum": None, "std_lum": None,
+                    "phash_check": None,
+                }
+                try:
+                    px = decode_image(bytes(r.bytes), r.fmt)
+                    row.update(
+                        decode_ok=True,
+                        mean_lum=float(px.mean()),
+                        std_lum=float(px.std()),
+                        phash_check=average_hash(px),
+                    )
+                except NotImplementedError:
+                    pass  # real-codec stub path: flagged, not fatal
+                out.append(row)
+            yield pd.DataFrame.from_records(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=DECODE_STATS_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "image_id string, thumb_w int, thumb_h int, thumb binary"
+
+
+def resize_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
+    """Block-mean resize to size×size grayscale thumbnails (numpy,
+    vectorized per image)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from httpz_spark.codecs.images import decode_image
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(size + 1) * h) // size
+                xs = (np.arange(size + 1) * w) // size
+                thumb = np.empty((size, size), dtype=np.uint8)
+                for i in range(size):
+                    for j in range(size):
+                        thumb[i, j] = int(
+                            gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                 xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                        )
+                out.append({
+                    "image_id": r.image_id, "thumb_w": size, "thumb_h": size,
+                    "thumb": thumb.tobytes(),
+                })
+            yield pd.DataFrame.from_records(out) if out else pd.DataFrame(
+                columns=["image_id", "thumb_w", "thumb_h", "thumb"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def image_embeddings(images: DataFrame, dim: int = 64) -> DataFrame:
+    """DETERMINISTIC FAKE feature extractor (clearly marked): 8x8 block-mean
+    thumbnail flattened + L2-normalized as a 64-d embedding.  A real model
+    would slot into the same mapInPandas stage with the same schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from httpz_spark.codecs.images import decode_image
+
+        side = int(np.sqrt(dim))
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(side + 1) * h) // side
+                xs = (np.arange(side + 1) * w) // side
+                v = np.empty(dim, dtype=np.float64)
+                for i in range(side):
+                    for j in range(side):
+                        v[i * side + j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                v = v - v.mean()
+                n = np.linalg.norm(v)
+                v = v / n if n > 0 else v
+                out.append({"image_id": r.image_id, "embedding": v.astype(np.float32).tolist()})
+            yield pd.DataFrame.from_records(out) if out else pd.DataFrame(
+                columns=["image_id", "embedding"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id string, frame_idx int, frame binary"
+
+
+def frame_sample(media: DataFrame, every_n: int = 4, id_col: str = "image_id") -> DataFrame:
+    """STUB video frame sampler (no ffmpeg in this container): slices the
+    binary payload into byte-strided pseudo-frames, preserving the real
+    operator's schema / partitioning / batch shape.  Swap the slicer for a
+    real decoder when the codec lib is present."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                n_frames = max(1, len(data) // 256)
+                for idx in range(0, n_frames, every_n):
+                    out.append({
+                        "media_id": getattr(r, id_col), "frame_idx": idx,
+                        "frame": data[idx * 256:(idx + 1) * 256],
+                    })
+            yield pd.DataFrame.from_records(out) if out else pd.DataFrame(
+                columns=["media_id", "frame_idx", "frame"]
+            )
+
+    return media.select(F_col(id_col), "bytes").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)

@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from httpz_spark.operators import dedup as D
+from httpz_spark.operators import multimodal as M
+from httpz_spark.operators import similarity as SIM
+from httpz_spark.operators import textstats as TS
+from httpz_spark.sources import fabric as FB
+from httpz_spark.sources import synthetic as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup
+        (3, "THE quick   brown fox jumps over the lazy dog again and again"), # normalized dup
+        (4, "the quick brown fox jumps over the lazy cat again and again"),   # near dup
+        (5, "completely different text about spark engines and parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(dup_docs(spark)).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3  # docs 1,2,3 collapse after normalization
+    assert groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_and_minhash_lsh(spark):
+    docs = dup_docs(spark)
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert exact[(1, 2)] == 1.0 and exact[(1, 3)] == 1.0
+    assert 0.5 <= exact[(1, 4)] < 1.0  # near dup
+
+    lsh = {(r["a"], r["b"]): r["jaccard"]
+           for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    # LSH candidates are verified with exact jaccard -> values must agree
+    for pair, j in lsh.items():
+        assert abs(exact[pair] - j) < 1e-12
+    assert (1, 2) in lsh and (1, 3) in lsh  # identical docs always collide
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """MinHash signature agreement ~ true Jaccard (statistical sanity)."""
+    sub = docs.limit(40)
+    sig = {r["id"]: r["sig"] for r in D.minhash_signatures(sub).collect()}
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(sub, threshold=0.0).collect()}
+    for (a, b), j in list(exact.items())[:20]:
+        est = np.mean([x == y for x, y in zip(sig[a], sig[b])])
+        assert abs(est - j) < 0.35  # 64 hashes -> loose bound
+
+
+def test_simhash(spark):
+    docs = dup_docs(spark)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in D.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 4) in pairs  # one word changed -> small hamming
+    assert (1, 5) not in pairs or pairs[(1, 5)] > 3
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = SIM.cosine_topk(emb, queries, k=4).collect()
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        qv = vecs[qid]
+        sims = sorted(
+            ((float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), -i)
+             for i, v in vecs.items()),
+            reverse=True,
+        )
+        want_ids = [-s[1] for s in sims[:4]]
+        got_ids = [r["neighbor_id"] for r in sorted(
+            (g for g in got if g["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got_ids == want_ids
+        # rank 1 is the query itself (cos=1)
+        assert got_ids[0] == qid
+
+
+def test_lsh_ann(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = SIM.lsh_ann_topk(emb, queries, k=3, planes=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == qid  # self always shares its own bucket
+        assert abs(top["cos_sim"] - 1.0) < 1e-9
+
+
+def test_embedding_near_pairs(spark, emb):
+    # duplicate a vector under a new id -> must surface as a near-dup pair
+    dup = emb.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"),
+                              "embedding", "label")
+    aug = emb.unionByName(dup)
+    pairs = D.embedding_near_pairs(aug, threshold=0.999).collect()
+    assert any(r["a"] == 0 and r["b"] == 100000 for r in pairs)
+
+
+def test_text_stats(spark, docs):
+    out = TS.text_stats(docs).collect()
+    assert len(out) == docs.count()
+    for r in out[:50]:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "es", "fr", "und")
+    # fingerprint is stable + distinct texts get distinct prints (high prob)
+    fps = [r["fingerprint"] for r in out]
+    assert len(set(fps)) > len(fps) * 0.9
+
+
+def test_multimodal_decode_and_embed(spark):
+    world = FB.FabricConfig(n_images=24, n_hosts=4)
+    images = S.images_df(spark, world, partitions=2)
+    stats = M.decode_stats(images).collect()
+    assert len(stats) == 24
+    truth = {r["image_id"]: r["phash"] for r in images.collect()}
+    for r in stats:
+        assert r["decode_ok"], r["image_id"]
+        assert 0 <= r["mean_lum"] <= 255
+        assert r["phash_check"] == truth[r["image_id"]]
+
+    thumbs = M.resize_thumbnails(images).collect()
+    assert len(thumbs) == 24 and all(len(t["thumb"]) == 64 for t in thumbs)
+
+    embs = M.image_embeddings(images).collect()
+    assert len(embs) == 24
+    for e in embs[:5]:
+        v = np.array(e["embedding"], dtype=np.float64)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    frames = M.frame_sample(images, every_n=2).collect()
+    assert len(frames) > 24  # multiple pseudo-frames per payload
+
+
+def test_decode_stub_poison_row(spark):
+    """A real-JPEG byte blob (undecodable without PIL) must not kill the
+    task — decode_ok=false row instead."""
+    rows = [("poison", bytearray(b"\xff\xd8\xff\xe0JFIF-fake"), 8, 8, "jpeg", "c", 0)]
+    df = spark.createDataFrame(rows, S.IMAGES_SCHEMA)
+    out = M.decode_stats(df).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False
