@@ -73,6 +73,12 @@ class EngineConfig:
     hot_host_threshold: int = 64     # rows/host above which fetch salting kicks in
     salt_buckets: int = 8            # fetch-stage salt fan-out for hot hosts
     bloom_bits_per_key: int = 10     # per-partition bloom sizing (~1% FP)
-    bloom_num_hashes: int = 7
+    bloom_capacity_per_part: int = 1_000_000  # sizing assumption per pid
+    use_bloom: bool = True           # maintain the persisted bloom index
+    bloom_min_seen: int = 5_000_000  # probe through the bloom only once the
+                                     # seen table exceeds this (measured: the
+                                     # plain JVM anti-join wins below ~10^7
+                                     # keys; the bloom's value is avoiding
+                                     # seen-table scans when seen >> wave)
     include_payload: bool = True     # carry image payload columns into results
     state_dir: str = "/tmp/httpz_spark_state"

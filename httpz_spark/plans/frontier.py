@@ -36,9 +36,9 @@ from pyspark.sql.functions import pandas_udf
 from httpz_spark.config import EngineConfig, ScanConfig
 from httpz_spark.functions import urls as U
 from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
-from httpz_spark.operators.frontier_dedup import dedup_unseen
+from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
 from httpz_spark.operators.politeness import politeness_schedule, salted_repartition
-from httpz_spark.plans.scan import PASSTHROUGH, PAYLOAD, make_url_hash64_udf
+from httpz_spark.plans.scan import META, PAYLOAD, make_url_hash64_udf
 from httpz_spark.plans.statestore import StateStore
 from httpz_spark.sources.fabric import FabricConfig, page_image_id
 
@@ -177,6 +177,12 @@ class CrawlEngine:
             "url_hash", "url_canon", F.lit(wave_id).alias("first_wave")
         )
         self.store.merge_upsert("seen", seen_rows, key="url_hash")
+        # OR this wave's keys into the persisted bloom index BEFORE the
+        # lineage commit: a kill anywhere re-runs the wave and re-ORs, so
+        # the bloom never has false negatives vs the seen table
+        bloom = self._bloom()
+        if bloom is not None:
+            bloom.update(seen_rows)
 
         # frontier(k+1) = deferred + discovered (depth-capped, in-wave deduped)
         next_frontier = deferred
@@ -206,12 +212,36 @@ class CrawlEngine:
         }
 
     # -- stages -------------------------------------------------------------------
+    def _bloom(self) -> BloomIndex | None:
+        ecfg = self.engine_cfg
+        if not ecfg.use_bloom:
+            return None
+        import os
+
+        return BloomIndex.open_or_create(
+            os.path.join(self.store.root, "bloom"),
+            partitions=ecfg.partitions,
+            capacity_per_part=ecfg.bloom_capacity_per_part,
+            bits_per_key=ecfg.bloom_bits_per_key,
+        )
+
+    def _seen_size(self) -> int:
+        """Seen-table cardinality from lineage counters (no table scan)."""
+        lineage = self.store.read("lineage")
+        if lineage is None:
+            return 0
+        return lineage.agg(F.sum("n_fetched")).collect()[0][0] or 0
+
     def _schedule(self, frontier: DataFrame) -> tuple:
         ecfg = self.engine_cfg
         ready = frontier.dropDuplicates(["url_hash"])
         seen = self.store.read("seen")
+        # adaptive dedup path: plain JVM anti-join until the seen table is
+        # big enough that skipping its scan pays for the bloom probe
+        bloom = self._bloom() if self._seen_size() >= ecfg.bloom_min_seen else None
         unseen = dedup_unseen(
-            ready, seen, ecfg.partitions, bits_per_key=ecfg.bloom_bits_per_key
+            ready, seen, ecfg.partitions,
+            bits_per_key=ecfg.bloom_bits_per_key, bloom=bloom,
         )
         ranked = politeness_schedule(
             unseen, self.robots, default_budget=ecfg.per_host_budget
@@ -239,23 +269,36 @@ class CrawlEngine:
         )
         page_image_udf = make_page_image_udf(self.fabric_cfg)
         df = df.withColumn("image_id", page_image_udf(F.col("host"), F.col("path")))
-        df = df.join(F.broadcast(self.images), "image_id", "left")
+        # pre-fetch join carries LIGHT metadata only (AQE broadcasts);
+        # heavy bytes join post-fetch so they never ride this shuffle
+        meta_names = [n for n, _t in META]
+        df = df.join(self.images.select("image_id", *meta_names), "image_id", "left")
 
-        passthrough = [
-            ("url_canon", "string"), ("url_hash", "long"), ("host", "string"),
-            ("path", "string"), ("depth", "int"), ("priority", "long"),
-            ("image_id", "string"),
-        ] + (PAYLOAD if ecfg.include_payload else [])
+        # python stage carries only (url_hash key, image_id) — the frontier
+        # columns rejoin JVM-side (url_hash is unique after in-wave dedup);
+        # round-tripping wide columns through Arrow measured 3x slower
+        passthrough = [("url_hash", "long"), ("image_id", "string")]
         pass_names = [n for n, _t in passthrough]
         pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
 
         df = salted_repartition(df, ecfg.partitions, ecfg.salt_buckets)
         stage = make_fetch_stage(scfg, self.fabric_cfg, pass_names)
         fetch_in = df.select(
-            *pass_names, "scan_target", "port", "proto_first", "proto_second",
-            *([] if ecfg.include_payload else [n for n, _ in PAYLOAD]),
+            *pass_names, *[n for n, _t in META],
+            "scan_target", "port", "proto_first", "proto_second",
         )
         out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
+        out = out.join(
+            scheduled.select("url_hash", "url_canon", "host", "path", "depth", "priority"),
+            "url_hash",
+        )
+        if ecfg.include_payload:
+            out = out.join(
+                self.images.select(
+                    "image_id", *[n for n, _t in META], *[n for n, _t in PAYLOAD]
+                ),
+                "image_id", "left",
+            )
         return out.withColumn("wave_id", F.lit(wave_id).cast("int"))
 
     def _commit_lineage(self, wave_id, n_ready, n_scheduled, n_deferred, n_fetched, errs, t0):

@@ -65,10 +65,15 @@ PASSTHROUGH = [
     ("ips", "array<string>"),
     ("image_id", "string"),
 ]
-PAYLOAD = [
-    ("bytes", "binary"), ("w", "int"), ("h", "int"),
-    ("fmt", "string"), ("caption", "string"), ("phash", "long"),
+# light payload metadata the fetch fabric actually consumes (page bodies
+# embed captions + dimensions; the image BYTES are only referenced by URL)
+META = [
+    ("w", "int"), ("h", "int"), ("fmt", "string"), ("caption", "string"),
 ]
+# heavy payload columns — joined AFTER the fetch stage, so image bytes never
+# ride the pre-fetch shuffle (scan of a 100 TB payload table stays columnar
+# and the join only touches fetched rows)
+PAYLOAD = [("bytes", "binary"), ("phash", "long")]
 
 
 def scan_plan(
@@ -79,6 +84,7 @@ def scan_plan(
     cfg: ScanConfig,
     fabric_cfg: FabricConfig,
     include_payload: bool = True,
+    partitions: int = 32,
 ) -> DataFrame:
     """seeds(line_num, raw) -> result DataFrame (SURVEY §1.2 schema +
     engine columns)."""
@@ -99,9 +105,6 @@ def scan_plan(
         F.col("p.proto_first").alias("proto_first"),
         F.col("p.proto_second").alias("proto_second"),
     )
-    # pinned-order key: hash of the stripped raw line (what refscan sorts on)
-    df = df.withColumn("url_hash", make_url_hash64_udf()(F.col("raw_domain")))
-
     if cfg.fetch_cname:
         df = DNS.resolve_cname_chain(df, dns, host_col="base_domain")
     else:
@@ -113,22 +116,57 @@ def scan_plan(
     else:
         df = df.withColumn("ips", F.lit(None).cast("array<string>"))
 
+    # BOTH python kernels (pinned-order murmur hash of the raw line + the
+    # fabric image-id) are independent -> added in ONE projection so
+    # Catalyst fuses them into a single ArrowEvalPython pass.  Keeping the
+    # wave at exactly two python stages (this + the fetch) matters: chained
+    # python stages multiply concurrent worker processes per task.
     root_image_udf = make_root_image_udf(fabric_cfg)
-    df = df.withColumn("image_id", root_image_udf(F.col("scan_target"), F.col("port")))
+    df = df.withColumns({
+        "url_hash": make_url_hash64_udf()(F.col("raw_domain")),
+        "image_id": root_image_udf(F.col("scan_target"), F.col("port")),
+    })
 
-    # payload equi-join — broadcast when small; at scale AQE picks SMJ and
-    # this is the wave's only shuffle (on image_id)
-    df = df.join(F.broadcast(images), "image_id", "left")
+    # pre-fetch join carries only the LIGHT metadata columns (captions +
+    # dims, ~100 B/row -> AQE broadcasts); image bytes join post-fetch
+    meta_names = [n for n, _t in META]
+    df = df.join(images.select("image_id", *meta_names), "image_id", "left")
+    # materialize the pre-fetch frame once: both the fetch input and the
+    # post-fetch rejoin consume it (otherwise the parse/DNS/UDF chain runs
+    # twice).  localCheckpoint stores executor-local and truncates lineage.
+    df = df.localCheckpoint(eager=False)
 
-    passthrough = PASSTHROUGH + (PAYLOAD if include_payload else [])
+    # The python fetch stage sees the MINIMUM column set: a unique key
+    # (line_num — raw url_hash can collide on duplicate seed lines), the
+    # scan coordinates, and the light payload meta the fabric consumes.
+    # Every other column (domain, url_hash, cname/ips arrays) rejoins
+    # JVM-side afterwards — round-tripping wide/array columns through
+    # Arrow->pandas->Arrow measured 3x slower at high core counts.
+    passthrough = [("line_num", "long"), ("image_id", "string")]
     pass_names = [n for n, _t in passthrough]
     pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
     stage = make_fetch_stage(cfg, fabric_cfg, pass_names)
     fetch_in = df.select(
-        *pass_names, "scan_target", "port", "proto_first", "proto_second",
-        *( [] if include_payload else ["bytes", "w", "h", "fmt", "caption", "phash"] ),
+        *pass_names, *[n for n, _t in META],
+        "scan_target", "port", "proto_first", "proto_second",
     )
+    # shuffle boundary before the fetch stage (mirrors the frontier path's
+    # salted repartition): separates the two python stages into distinct
+    # Spark stages — without it one task pipelines both python workers and
+    # local[N] runs 2N python processes concurrently
+    fetch_in = fetch_in.repartition(partitions, F.pmod(F.col("line_num"), F.lit(partitions)))
     out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
+    # rejoin the pre-fetch columns (JVM equi-join on the unique key)
+    side = df.select(
+        "line_num", "domain", "url_hash", "cname_chain", "ips",
+        *( [n for n, _t in META] if include_payload else [] ),
+    )
+    out = out.join(side, "line_num")
+    if include_payload:
+        # heavy columns attach to fetched rows only (post-politeness/dedup)
+        out = out.join(
+            images.select("image_id", *[n for n, _t in PAYLOAD]), "image_id", "left"
+        )
 
     if cfg.match_codes is not None:
         out = out.filter(T.status_isin(F.col("status"), cfg.match_codes))

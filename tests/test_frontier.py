@@ -39,6 +39,8 @@ def table_fingerprint(df, cols):
 
 
 def test_bloom_dedup_equals_exact_antijoin(spark):
+    from httpz_spark.operators.frontier_dedup import BloomIndex
+
     cand = spark.range(0, 5000).select(
         (F.col("id") * 2654435761 % 999999937).alias("url_hash"),
         F.col("id").alias("payload"),
@@ -46,9 +48,38 @@ def test_bloom_dedup_equals_exact_antijoin(spark):
     seen = spark.range(2000, 9000).select(
         (F.col("id") * 2654435761 % 999999937).alias("url_hash")
     )
-    got = table_fingerprint(dedup_unseen(cand, seen, partitions=8), ["url_hash", "payload"])
     want = table_fingerprint(cand.join(seen, "url_hash", "left_anti"), ["url_hash", "payload"])
-    assert got == want and len(got) > 0
+    assert len(want) > 0
+
+    # plain JVM path
+    got = table_fingerprint(dedup_unseen(cand, seen, partitions=8), ["url_hash", "payload"])
+    assert got == want
+
+    # persisted-bloom path: exact same result (FPs re-checked, no FNs)
+    root = tempfile.mkdtemp(prefix="httpz_bloom_")
+    try:
+        idx = BloomIndex.open_or_create(root, partitions=8, capacity_per_part=10_000)
+        idx.update(seen)
+        got_b = table_fingerprint(
+            dedup_unseen(cand, seen, partitions=8, bloom=idx), ["url_hash", "payload"]
+        )
+        assert got_b == want
+        # idempotent re-update (the resume path) changes nothing
+        idx.update(seen)
+        got_b2 = table_fingerprint(
+            dedup_unseen(cand, seen, partitions=8, bloom=idx), ["url_hash", "payload"]
+        )
+        assert got_b2 == want
+        # missing bloom file degrades to exact check, never to wrong results
+        import os
+
+        os.remove(os.path.join(root, "pid=0.npy"))
+        got_deg = table_fingerprint(
+            dedup_unseen(cand, seen, partitions=8, bloom=idx), ["url_hash", "payload"]
+        )
+        assert got_deg == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_urls_to_frontier_canonical(spark):
@@ -101,6 +132,23 @@ def test_crawl_waves_and_politeness(spark, world):
         assert results.filter(F.col("depth") > 0).count() > 0
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_crawl_bloom_path_equals_plain(spark, world):
+    """Forcing the bloom dedup path (bloom_min_seen=0) produces the exact
+    same crawl as the default plain anti-join path."""
+    base = tempfile.mkdtemp(prefix="httpz_bloomcrawl_")
+    try:
+        fps = []
+        for sub, over in (("plain", {}), ("bloom", {"bloom_min_seen": 0})):
+            eng = make_engine(spark, world, f"{base}/{sub}", **over)
+            eng.init_frontier(seed_df(spark, world))
+            eng.crawl(max_waves=3)
+            fps.append(table_fingerprint(
+                eng.store.read("results"), ["url_hash", "status", "wave_id"]))
+        assert fps[0] == fps[1] and len(fps[0]) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_resume_after_kill_is_exact(spark, world):
