@@ -35,6 +35,13 @@ class ScanConfig:
     # filtering / misc — scanner.py:79-86
     match_codes: frozenset | None = None
     exclude_codes: frozenset | None = None
+    # custom request headers merged over the UA (scanner.py:209-212) and
+    # POST body (method is POST iff post_data set, scanner.py:212,224);
+    # tuple-of-pairs keeps the dataclass frozen/hashable
+    custom_headers: tuple | None = None
+    post_data: str | None = None
+    ua_seed: int = 42                 # seeded UA rotation (A24) — replaces
+                                      # the reference's random.choice
     shard: tuple | None = None
     # engine extension (NOT in the reference, which never follows links):
     # emit discovered <a href> outlinks for the frontier's next wave

@@ -67,10 +67,19 @@ def _fetch_one(
     """One attempt — the engine's column-shaped analogue of scanner.py:206-309."""
     out = _empty_result()
     out["protocol"] = protocol
+    # seeded UA (A24) + custom headers merged over it (scanner.py:209-212);
+    # method is POST iff post_data is set (scanner.py:212)
+    from httpz_spark.functions.ua import ua_for
+
+    headers = {"User-Agent": ua_for(url, attempt, cfg.ua_seed)}
+    if cfg.custom_headers:
+        headers.update(dict(cfg.custom_headers))
     try:
         resp = transport.fetch(
             url, protocol, attempt=attempt,
             follow_redirects=cfg.follow_redirects, max_redirects=cfg.max_redirects,
+            method="POST" if cfg.post_data is not None else "GET",
+            request_headers=headers,
         )
     except FabricError as e:
         out["error_type"] = e.error_type
@@ -105,25 +114,43 @@ def _fetch_one(
         if cfg.fetch_body:
             out["body_preview"] = R.body_preview(raw_body, encoding=encoding)
         html_text = raw_body.decode(encoding, errors="replace")
-        if cfg.fetch_body:
-            out["body_clean"] = R.body_clean(html_text)
-        if cfg.fetch_title:
-            out["title"] = R.parse_title(html_text, resp.headers.get("Content-Type"))
-        if cfg.fetch_favicon and resp.status is not None:
-            out["favicon_hash"] = _favicon(transport, resp.url, html_text, protocol, cfg)
-        if cfg.discover_links and resp.status == 200:
-            from httpz_spark.functions.htmlx import extract_links
 
-            out["discovered"] = extract_links(html_text, resp.url)
+        # ONE parser pass extracts title + clean text + favicon link +
+        # outlinks (HTMLParser dominates the hot path; parity with the
+        # reference model's separate parsers is covered by the suite)
+        from httpz_spark.functions.htmlx import parse_page
+
+        page = parse_page(html_text)
+
+        if cfg.fetch_body:
+            text = R.normalize_text(" ".join(page.text_parts))
+            out["body_clean"] = text[: R.BODY_CLEAN_CHARS] if text else None
+        if cfg.fetch_title:
+            ct = resp.headers.get("Content-Type")
+            if not (ct and not any(x in ct.lower() for x in ("text/html", "application/xhtml"))):
+                if page.title_raw is not None:
+                    title = R.normalize_text(page.title_raw)
+                    out["title"] = title[: R.TITLE_MAX_CHARS] if title else None
+        if cfg.fetch_favicon and resp.status is not None:
+            out["favicon_hash"] = _favicon(
+                transport, resp.url, page.favicon_href, protocol, cfg
+            )
+        if cfg.discover_links and resp.status == 200:
+            links = []
+            for href in page.hrefs:
+                absu = urllib.parse.urljoin(resp.url, href)
+                if absu.startswith(("http://", "https://")):
+                    links.append(absu)
+            out["discovered"] = links
     return out
 
 
-def _favicon(transport, final_url, html_text, protocol, cfg) -> str | None:
-    """Second GET for the favicon — parsers.py:205-254 semantics."""
+def _favicon(transport, final_url, favicon_href, protocol, cfg) -> str | None:
+    """Second GET for the favicon — parsers.py:205-254 semantics (the href
+    comes from the combined page parse)."""
     parsed = urllib.parse.urlparse(final_url)
     base = f"{parsed.scheme}://{parsed.netloc}"
-    href = R.find_favicon_href(html_text) or "/favicon.ico"
-    favicon_url = urllib.parse.urljoin(base, href)
+    favicon_url = urllib.parse.urljoin(base, favicon_href or "/favicon.ico")
     try:
         resp = transport.fetch(favicon_url, protocol, attempt=0)
     except FabricError:

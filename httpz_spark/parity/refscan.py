@@ -40,12 +40,21 @@ def _check_url(
     transport: FabricTransport, url: str, protocol: str, domain: str,
     cfg: ScanConfig, attempt: int,
 ) -> dict:
-    """One attempt — models scanner.py:206-309."""
+    """One attempt — models scanner.py:206-309.  UA selection models
+    scanner.py:209 with the seeded pick both sides pin to (the reference's
+    random.choice is non-reproducible; SURVEY §2 A24)."""
+    from httpz_spark.functions.ua import ua_for
+
+    headers = {"User-Agent": ua_for(url, attempt, cfg.ua_seed)}
+    if cfg.custom_headers:
+        headers.update(dict(cfg.custom_headers))  # scanner.py:210
     try:
         resp = transport.fetch(
             url, protocol, attempt=attempt,
             follow_redirects=cfg.follow_redirects,
             max_redirects=cfg.max_redirects,
+            method="POST" if cfg.post_data is not None else "GET",  # scanner.py:212
+            request_headers=headers,
         )
     except FabricError as e:
         return _err_result(domain, protocol, e.error_type, e.message)
