@@ -29,9 +29,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # crawl-workload knobs (independent of sf_dir; the frontier is synthesized)
-CRAWL_IMAGES = int(os.environ.get("BENCH_CRAWL_IMAGES", "6000"))
-CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "300"))
-DEDUP_ROWS = int(os.environ.get("BENCH_DEDUP_ROWS", "2000000"))
+# sized so the fetch wave is compute-dominated, not job-overhead-dominated
+CRAWL_IMAGES = int(os.environ.get("BENCH_CRAWL_IMAGES", "16000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "400"))
+DEDUP_ROWS = int(os.environ.get("BENCH_DEDUP_ROWS", "4000000"))
 
 
 def build_spark(cpus: int):
