@@ -31,12 +31,15 @@ from httpz_spark.sources.fabric import FabricConfig, _split_url, root_image_id
 
 
 def make_url_hash64_udf():
-    """mmh3-compatible 64-bit hash of a string column (Arrow-batched).
-    Built lazily — @pandas_udf needs an active session to parse the type."""
+    """mmh3-compatible 64-bit hash of a string column (Arrow-batched,
+    numpy-vectorized over the Arrow buffers — ~2.5x the scalar path; both
+    are property-tested bit-identical).  Built lazily — @pandas_udf needs
+    an active session to parse the type."""
+    from httpz_spark.functions.hashing import hash64_str_batch_np
 
     @pandas_udf("long")
     def url_hash64_udf(s: pd.Series) -> pd.Series:
-        return hash64_str_batch(s).astype("Int64")
+        return hash64_str_batch_np(s).astype("Int64")
 
     return url_hash64_udf
 

@@ -51,3 +51,23 @@ def test_favicon_hash_semantics():
     out = favicon_hash_batch(pd.Series([None, b"", b"\x89PNG fake icon"]))
     assert out[0] is None and out[1] is None
     assert out[2] == str(hash64_low(b"\x89PNG fake icon"))
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=64)),
+        min_size=1, max_size=64,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_vectorized_matches_scalar(vals):
+    from httpz_spark.functions.hashing import hash64_str_batch_np
+
+    s = pd.Series(vals, dtype="object")
+    a = hash64_str_batch(s)
+    b = hash64_str_batch_np(s)
+    for i in range(len(vals)):
+        if vals[i] is None:
+            assert pd.isna(a.iloc[i]) and pd.isna(b.iloc[i])
+        else:
+            assert a.iloc[i] == b.iloc[i], repr(vals[i])
