@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the crawl engine (north_rule deployment).
+
+    python -m httpz_spark.session packaging + this script =
+    spark-submit --master <cluster> --py-files httpz_spark_pkg.zip \
+        scripts/run_crawl.py --seeds seeds.txt --state /data/crawl \
+        --waves 20 --budget 100
+
+On a real cluster ``--py-files`` ships the zip built by
+``httpz_spark.session.package_zip()``; locally the session factory ships it
+automatically.  All crawl state checkpoints under ``--state`` — re-running
+the same command after a kill resumes exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="httpz_spark distributed crawl")
+    ap.add_argument("--seeds", required=True, help="seed URL/domain file (one per line)")
+    ap.add_argument("--state", required=True, help="checkpoint/state directory")
+    ap.add_argument("--waves", type=int, default=10)
+    ap.add_argument("--budget", type=int, default=100, help="per-host per-wave budget")
+    ap.add_argument("--depth", type=int, default=3, help="link-following depth cap")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--n-images", type=int, default=4096,
+                    help="synthetic web size (sandbox fabric; a real "
+                         "deployment replaces the fabric transport with aiohttp)")
+    ap.add_argument("--n-hosts", type=int, default=64)
+    ap.add_argument("--match-codes", default=None, help="e.g. 200,301-399")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from httpz_spark.config import EngineConfig, ScanConfig
+    from httpz_spark.parity.refmodel import parse_status_codes
+    from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+    from httpz_spark.sources.seeds import seeds_from_text
+
+    # under spark-submit the session already exists; standalone runs build one
+    spark = SparkSession.builder.appName("httpz_spark-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    match = frozenset(parse_status_codes(args.match_codes)) if args.match_codes else None
+    world = FB.FabricConfig(n_images=args.n_images, n_hosts=args.n_hosts).with_certs()
+    scan_cfg = ScanConfig.all_on(discover_links=True, match_codes=match)
+    engine_cfg = EngineConfig(
+        partitions=args.partitions, per_host_budget=args.budget, max_depth=args.depth
+    )
+
+    eng = CrawlEngine(
+        spark,
+        S.images_df(spark, world, partitions=args.partitions),
+        S.dns_df(spark, world),
+        S.robots_df(spark, world),
+        scan_cfg, engine_cfg, world, state_dir=args.state,
+    )
+    eng.init_frontier(seeds_from_text(spark, args.seeds))
+    results = eng.crawl(max_waves=args.waves)
+
+    lineage = eng.store.read("lineage").orderBy("wave_id").collect()
+    summary = {
+        "results": results.count(),
+        "unique_urls": results.select("url_hash").distinct().count(),
+        "waves": [
+            {"wave": r["wave_id"], "fetched": r["n_fetched"],
+             "deferred": r["n_deferred"], "urls_per_sec": round(r["urls_per_sec"], 1)}
+            for r in lineage
+        ],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
