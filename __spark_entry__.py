@@ -10,11 +10,30 @@ Crawl-engine queries that exercise the synthetic web fabric are rows-only
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# the engine package lives next to this file; make both the driver import
+# and the executor unpickling independent of the harness's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the httpz_spark package to executor python workers (idempotent)
+    — the harness may run from any cwd."""
+    try:
+        from httpz_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or workers can import it anyway
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from httpz_spark.sources import fabric as FB
     from httpz_spark.sources import synthetic as S
 
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     n_docs = _t(spark, sf_dir, "documents").count()
     world = FB.FabricConfig(n_images=min(64, max(16, n_docs // 8)), n_hosts=16).with_certs()
@@ -343,35 +363,43 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _shipped(fn):
+    def wrapper(spark, sf_dir):
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # kernels (oracled)
-        "shard_filter": q_shard_filter,
-        "status_match_filter": q_status_match_filter,
-        "ws_normalize": q_ws_normalize,
-        "preview_truncate": q_preview_truncate,
-        "sorted_distinct_agg": q_sorted_distinct_agg,
-        "politeness_topk": q_politeness_topk,
-        "seen_antijoin": q_seen_antijoin,
-        "robots_broadcast_join": q_robots_broadcast_join,
-        "lineage_agg": q_lineage_agg,
-        "hash_partition_dist": q_hash_partition_dist,
-        "url_canonicalize": q_url_canonicalize,
-        "domain_parse": q_domain_parse,
+        "shard_filter": _shipped(q_shard_filter),
+        "status_match_filter": _shipped(q_status_match_filter),
+        "ws_normalize": _shipped(q_ws_normalize),
+        "preview_truncate": _shipped(q_preview_truncate),
+        "sorted_distinct_agg": _shipped(q_sorted_distinct_agg),
+        "politeness_topk": _shipped(q_politeness_topk),
+        "seen_antijoin": _shipped(q_seen_antijoin),
+        "robots_broadcast_join": _shipped(q_robots_broadcast_join),
+        "lineage_agg": _shipped(q_lineage_agg),
+        "hash_partition_dist": _shipped(q_hash_partition_dist),
+        "url_canonicalize": _shipped(q_url_canonicalize),
+        "domain_parse": _shipped(q_domain_parse),
         # training-data pipeline (oracled)
-        "exact_dedup": q_exact_dedup,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "cosine_topk": q_cosine_topk,
+        "exact_dedup": _shipped(q_exact_dedup),
+        "text_stats": _shipped(q_text_stats),
+        "lang_id": _shipped(q_lang_id),
+        "ngram_jaccard_dups": _shipped(q_ngram_jaccard_dups),
+        "cosine_topk": _shipped(q_cosine_topk),
         # rows-only (murmur3/xxhash64 kernels, fabric, iterative state)
-        "minhash_lsh_dups": q_minhash_lsh_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "crawl_single_wave": q_crawl_single_wave,
-        "frontier_crawl": q_frontier_crawl,
-        "multimodal_decode": q_multimodal_decode,
+        "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
+        "simhash_near_dups": _shipped(q_simhash_near_dups),
+        "embedding_near_dups": _shipped(q_embedding_near_dups),
+        "lsh_ann_topk": _shipped(q_lsh_ann_topk),
+        "crawl_single_wave": _shipped(q_crawl_single_wave),
+        "frontier_crawl": _shipped(q_frontier_crawl),
+        "multimodal_decode": _shipped(q_multimodal_decode),
     }
 
 
