@@ -24,7 +24,6 @@ from pyspark.sql.functions import pandas_udf
 from httpz_spark.config import ScanConfig
 from httpz_spark.functions import text as T
 from httpz_spark.functions import urls as U
-from httpz_spark.functions.hashing import hash64_str_batch
 from httpz_spark.operators import dnsresolve as DNS
 from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
 from httpz_spark.sources.fabric import FabricConfig, _split_url, root_image_id
