@@ -79,6 +79,10 @@ class EngineConfig:
     max_depth: int = 3               # frontier link-following depth cap
     hot_host_threshold: int = 64     # rows/host above which fetch salting kicks in
     salt_buckets: int = 8            # fetch-stage salt fan-out for hot hosts
+    politeness_pre_salt: int = 16    # salted local top-k fan-out before the
+                                     # exact per-host window (hot-host guard;
+                                     # `scheduled` stays exact — see
+                                     # operators/politeness.py docstring)
     bloom_bits_per_key: int = 10     # per-partition bloom sizing (~1% FP)
     bloom_capacity_per_part: int = 1_000_000  # sizing assumption per pid
     use_bloom: bool = True           # maintain the persisted bloom index

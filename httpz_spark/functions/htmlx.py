@@ -81,8 +81,10 @@ class _PageParser(HTMLParser):
             self.text_parts.append(data)
 
 
-def parse_page(html: str) -> PageParse:
-    """Single-pass page parse; resilient (parse errors -> empty result)."""
+def parse_page_htmlparser(html: str) -> PageParse:
+    """The reference semantics implementation (stdlib HTMLParser) — used
+    directly when the fast scanner bails, and as the equivalence oracle in
+    tests/test_htmlx.py."""
     p = _PageParser()
     try:
         p.feed(html)
@@ -93,6 +95,137 @@ def parse_page(html: str) -> PageParse:
     if p.title_parts and not p.title_invalid:
         title_raw = "".join(p.title_parts)
     return PageParse(title_raw, p.text_parts, p.favicon_href, p.hrefs)
+
+
+# --------------------------------------------------------------------------
+# fast path: regex tag scanner (HTMLParser dominates the fetch hot path at
+# ~44% of per-URL CPU).  Takes over ONLY for documents with no character
+# references / comments / declarations / PIs and no stray '<'; anything
+# else falls back to HTMLParser.  Equivalence on both fabric pages and
+# adversarial inputs is property-tested (tests/test_htmlx.py).
+# --------------------------------------------------------------------------
+
+import re
+
+_TAG_RE = re.compile(r"""<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:"[^"]*"|'[^']*'|[^<>"'])*)>""")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?"""
+)
+# only tag bodies of this exact shape (quoted attrs, optional final '/') are
+# handled by the fast path — unquoted values / stray junk diverge from
+# HTMLParser's tolerant recovery, so they fall back to it
+_SIMPLE_BODY_RE = re.compile(
+    r"""(?:\s+[a-zA-Z_][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:"[^"]*"|'[^']*'))?)*\s*(/?)$"""
+)
+_CDATA_TAGS = ("script", "style")  # HTMLParser parses these in CDATA mode
+
+
+def _attrs_of(body: str) -> dict:
+    return {
+        m.group(1).lower(): (
+            m.group(2) if m.group(2) is not None
+            else m.group(3) if m.group(3) is not None
+            else m.group(4)
+        )
+        for m in _ATTR_RE.finditer(body)
+    }
+
+
+def _parse_page_fast(html: str) -> PageParse | None:
+    """Regex scan; returns None to request the HTMLParser fallback."""
+    if "&" in html or "<!" in html or "<?" in html:
+        return None  # charrefs / comments / doctype / PI -> exact parser
+
+    in_title = False
+    title_done = False
+    title_invalid = False
+    title_parts: list = []
+    noscript_depth = 0
+    text_parts: list = []
+    favicon_href = None
+    favicon_done = False
+    hrefs: list = []
+
+    lower = None  # lazily lowered copy for CDATA close search
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        start = m.start() if m else n
+        if start > pos:
+            data = html[pos:start]
+            if "<" in data:
+                return None  # stray '<' -> HTMLParser's recovery rules
+            if in_title and not title_done:
+                title_parts.append(data)
+            if noscript_depth == 0:
+                text_parts.append(data)
+        if m is None:
+            break
+        closing, tag, body = m.group(1), m.group(2).lower(), m.group(3)
+        pos = m.end()
+        if closing:
+            if body.strip():
+                return None  # attributes on an end tag -> exact parser
+            if in_title and tag == "title":
+                in_title = False
+                title_done = True
+            elif tag == "noscript" and noscript_depth > 0:
+                noscript_depth -= 1
+            continue
+        bm = _SIMPLE_BODY_RE.fullmatch(body)
+        if bm is None:
+            return None  # unquoted/odd attrs -> HTMLParser's tolerant rules
+        selfclosing = bm.group(1) == "/"
+        # start tag (handle_starttag semantics; startendtag = start + end)
+        if in_title and not title_done:
+            title_invalid = True
+        if tag == "title" and not title_done and not in_title:
+            if selfclosing:
+                title_done = True  # <title/> = start+end (handle_startendtag)
+            else:
+                in_title = True
+        elif tag in _CDATA_TAGS:
+            if not selfclosing:
+                if lower is None:
+                    lower = html.lower()
+                close = lower.find(f"</{tag}", pos)
+                if close < 0:
+                    break  # unterminated CDATA: rest is (skipped) content
+                gt = html.find(">", close)
+                if gt < 0:
+                    break
+                pos = gt + 1
+        elif tag == "noscript":
+            if not selfclosing:
+                noscript_depth += 1
+        elif tag == "link" and not favicon_done:
+            d = _attrs_of(body)
+            rels = (d.get("rel") or "").split()
+            if any(r.lower() == "icon" for r in rels):
+                favicon_href = d.get("href")
+                favicon_done = True
+        elif tag == "a":
+            href = _attrs_of(body).get("href")
+            if href:
+                hrefs.append(href)
+
+    title_raw = None
+    if title_parts and not title_invalid:
+        title_raw = "".join(title_parts)
+    return PageParse(title_raw, text_parts, favicon_href, hrefs)
+
+
+def parse_page(html: str) -> PageParse:
+    """Single-pass page parse; resilient (parse errors -> empty result).
+    Dispatches to the regex fast path when safe, HTMLParser otherwise."""
+    try:
+        fast = _parse_page_fast(html)
+    except Exception:
+        fast = None
+    if fast is not None:
+        return fast
+    return parse_page_htmlparser(html)
 
 
 class _HrefCollector(HTMLParser):

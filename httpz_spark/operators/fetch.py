@@ -15,6 +15,11 @@ Scale properties:
 * No driver round-trips: config + fabric rules travel in the closure;
   payload rows ride the batch (the sandbox substitute for the network).
 * Certs are parsed once per distinct DER per batch (hosts share certs).
+* ONE transport per batch (not per row): the record provider is a mutable
+  pointer swapped per row — object construction stays out of the hot loop.
+* Batch columns are unpacked once into python lists (``to_dict("records")``
+  builds a dict per row and measured ~2× slower); output is assembled
+  column-wise.
 * A UDF exception never kills the Spark task: every row is wrapped and
   errors become taxonomy rows — scanner.py:409-414 (PROCESS) semantics.
 """
@@ -27,9 +32,12 @@ from collections.abc import Iterator
 import pandas as pd
 
 from httpz_spark.config import ScanConfig
+from httpz_spark.functions.htmlx import parse_page
 from httpz_spark.functions.tlsx import parse_cert_der
+from httpz_spark.functions.ua import ua_for
 from httpz_spark.parity import refmodel as R
-from httpz_spark.sources.fabric import FabricConfig, FabricError, FabricTransport
+from httpz_spark.sources.fabric import FabricConfig, FabricTransport, image_record
+from httpz_spark.sources.transport import TransportError
 
 RESULT_COLUMNS = (
     "url string, status int, protocol string, "
@@ -41,6 +49,13 @@ RESULT_COLUMNS = (
     "alt_names:array<string>,not_before:string,not_after:string>, "
     "error string, error_type string, latency_ms double, attempts int, "
     "discovered array<string>"
+)
+
+_RESULT_KEYS = (
+    "url", "status", "protocol", "response_headers", "content_type",
+    "content_length", "content_length_raw", "redirect_chain", "title",
+    "body_preview", "body_clean", "favicon_hash", "tls", "error",
+    "error_type", "latency_ms", "attempts", "discovered",
 )
 
 
@@ -61,19 +76,17 @@ def _empty_result() -> dict:
 
 
 def _fetch_one(
-    transport: FabricTransport, url: str, protocol: str, cfg: ScanConfig,
-    attempt: int, cert_cache: dict,
+    transport, url: str, protocol: str, cfg: ScanConfig,
+    attempt: int, cert_cache: dict, custom_headers: dict | None,
 ) -> dict:
     """One attempt — the engine's column-shaped analogue of scanner.py:206-309."""
     out = _empty_result()
     out["protocol"] = protocol
     # seeded UA (A24) + custom headers merged over it (scanner.py:209-212);
     # method is POST iff post_data is set (scanner.py:212)
-    from httpz_spark.functions.ua import ua_for
-
     headers = {"User-Agent": ua_for(url, attempt, cfg.ua_seed)}
-    if cfg.custom_headers:
-        headers.update(dict(cfg.custom_headers))
+    if custom_headers:
+        headers.update(custom_headers)
     try:
         resp = transport.fetch(
             url, protocol, attempt=attempt,
@@ -81,7 +94,7 @@ def _fetch_one(
             method="POST" if cfg.post_data is not None else "GET",
             request_headers=headers,
         )
-    except FabricError as e:
+    except TransportError as e:
         out["error_type"] = e.error_type
         out["error"] = e.message
         return out
@@ -113,13 +126,16 @@ def _fetch_one(
         encoding = resp.charset or "utf-8"
         if cfg.fetch_body:
             out["body_preview"] = R.body_preview(raw_body, encoding=encoding)
-        html_text = raw_body.decode(encoding, errors="replace")
+        try:
+            html_text = raw_body.decode(encoding, errors="replace")
+        except Exception:
+            # unknown codec name -> utf-8 fallback (scanner.py:281-283;
+            # errors='replace' does not protect against LookupError)
+            html_text = raw_body.decode("utf-8", errors="replace")
 
         # ONE parser pass extracts title + clean text + favicon link +
         # outlinks (HTMLParser dominates the hot path; parity with the
         # reference model's separate parsers is covered by the suite)
-        from httpz_spark.functions.htmlx import parse_page
-
         page = parse_page(html_text)
 
         if cfg.fetch_body:
@@ -138,48 +154,70 @@ def _fetch_one(
         if cfg.discover_links and resp.status == 200:
             links = []
             for href in page.hrefs:
-                absu = urllib.parse.urljoin(resp.url, href)
+                # fast paths produce byte-identical urljoin results for the
+                # two shapes that dominate (abs-http and root-relative)
+                if href.startswith(("http://", "https://")):
+                    absu = href
+                elif href.startswith("/") and not href.startswith("//"):
+                    absu = _origin_of(resp.url) + href
+                else:
+                    absu = urllib.parse.urljoin(resp.url, href)
                 if absu.startswith(("http://", "https://")):
                     links.append(absu)
             out["discovered"] = links
     return out
 
 
+def _origin_of(url: str) -> str:
+    """scheme://netloc of a URL whose path starts at the first '/' after the
+    authority (true for every transport-returned final URL); equals
+    urlparse(url).scheme + '://' + netloc for those shapes."""
+    scheme, _, rest = url.partition("://")
+    netloc = rest.split("/", 1)[0]
+    if "?" in netloc or "#" in netloc:  # no path before query — rare; exact
+        p = urllib.parse.urlparse(url)
+        return f"{p.scheme}://{p.netloc}"
+    return f"{scheme}://{netloc}"
+
+
 def _favicon(transport, final_url, favicon_href, protocol, cfg) -> str | None:
     """Second GET for the favicon — parsers.py:205-254 semantics (the href
     comes from the combined page parse)."""
-    parsed = urllib.parse.urlparse(final_url)
-    base = f"{parsed.scheme}://{parsed.netloc}"
-    favicon_url = urllib.parse.urljoin(base, favicon_href or "/favicon.ico")
+    href = favicon_href or "/favicon.ico"
+    if href.startswith("/") and not href.startswith("//"):
+        favicon_url = _origin_of(final_url) + href
+    else:
+        favicon_url = urllib.parse.urljoin(_origin_of(final_url), href)
     try:
         resp = transport.fetch(favicon_url, protocol, attempt=0)
-    except FabricError:
+    except TransportError:
         return None
     if resp.status != 200:
         return None
     return R.favicon_hash(resp.body)
 
 
-def _scan_row(row: dict, transport, cfg: ScanConfig, cert_cache: dict) -> dict:
+def _scan_row(
+    target: str, port, proto_first: str, proto_second: str,
+    transport, cfg: ScanConfig, cert_cache: dict, custom_headers: dict | None,
+) -> dict:
     """Protocol fallback + retries for one scheduled URL —
     scanner.py:312-379 semantics (CERT/SSL fall back but never retry;
     TIMEOUT/CONN/HTTP retry with linear backoff, simulated as latency)."""
-    protocols = [row["proto_first"], row["proto_second"]]
-    port = row.get("port")
-    target = row["scan_target"]
-
     last_error = None
     success = None
     total_latency = 0.0
     total_attempts = 0
-    for protocol in protocols:
+    for protocol in (proto_first, proto_second):
         url = f"{protocol}://{target}"
-        if port is not None and not pd.isna(port):
-            url += f":{int(port)}"
+        if port:  # falsy check: explicit port 0 is skipped (scanner.py:356-357)
+            url += f":{port}"
         attempts = 1 + max(0, cfg.retries)
         result = None
         for attempt in range(attempts):
-            result = _fetch_one(transport, url, protocol, cfg, attempt, cert_cache)
+            result = _fetch_one(
+                transport, url, protocol, cfg, attempt, cert_cache, custom_headers
+            )
             total_attempts += 1
             total_latency += result["latency_ms"]
             if result["status"] >= 0:
@@ -201,62 +239,99 @@ def _scan_row(row: dict, transport, cfg: ScanConfig, cert_cache: dict) -> dict:
     return final
 
 
+class _BatchProvider:
+    """record_provider with a mutable per-row pointer: ONE instance serves a
+    whole Arrow batch (the loop swaps ``rec`` before each row's fetch).
+    Falls back to deterministic regeneration for off-row pages (favicon
+    neighbors, redirect targets — identical bytes by construction)."""
+
+    __slots__ = ("rec", "cfg")
+
+    def __init__(self, fabric_cfg: FabricConfig):
+        self.rec = None
+        self.cfg = fabric_cfg
+
+    def __call__(self, image_id: str) -> dict:
+        rec = self.rec
+        if rec is not None and image_id == rec["image_id"] and rec.get("caption") is not None:
+            return rec
+        return image_record(image_id, self.cfg)
+
+
 def make_fetch_stage(
     cfg: ScanConfig,
     fabric_cfg: FabricConfig,
     passthrough_cols: list,
+    transport_factory=None,
 ):
     """Build the mapInPandas function.  ``passthrough_cols`` are copied from
-    input to output verbatim (keys, payload, cname/ips columns)."""
+    input to output verbatim (keys, payload, cname/ips columns).
+
+    ``transport_factory(record_provider) -> Transport`` is the production
+    seam: default is the deterministic fabric; a real deploy passes e.g.
+    ``lambda rp: AiohttpTransport(timeout_s=cfg.timeout)`` (the provider is
+    fabric-specific and real transports ignore it)."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cert_cache: dict = {}
+        custom_headers = dict(cfg.custom_headers) if cfg.custom_headers else None
 
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            has_payload = "image_id" in pdf.columns and "caption" in pdf.columns
-            out_rows = []
-            for row in pdf.to_dict("records"):
-                if has_payload and row.get("image_id") is not None:
-                    rec = {
-                        "image_id": row["image_id"],
-                        "bytes": row.get("bytes"),
-                        "w": row.get("w"), "h": row.get("h"),
-                        "fmt": row.get("fmt"), "caption": row.get("caption"),
-                        "phash": row.get("phash"),
-                    }
-                    provider = _RowProvider(rec, fabric_cfg)
-                else:
-                    provider = None
+            cols = set(pdf.columns)
+            has_payload = "image_id" in cols and "caption" in cols
+            provider = _BatchProvider(fabric_cfg) if has_payload else None
+            if transport_factory is not None:
+                transport = transport_factory(provider)
+            else:
                 transport = FabricTransport(fabric_cfg, record_provider=provider)
+
+            # unpack columns ONCE (python lists beat per-row .loc/dict access)
+            targets = pdf["scan_target"].tolist()
+            ports = [None if pd.isna(p) else int(p) for p in pdf["port"].tolist()]
+            p1s = pdf["proto_first"].tolist()
+            p2s = pdf["proto_second"].tolist()
+            if has_payload:
+                iids = pdf["image_id"].tolist()
+                caps = pdf["caption"].tolist()
+                ws = pdf["w"].tolist()
+                hs = pdf["h"].tolist()
+                fmts = pdf["fmt"].tolist()
+                byts = pdf["bytes"].tolist() if "bytes" in cols else None
+                phs = pdf["phash"].tolist() if "phash" in cols else None
+
+            results = []
+            append = results.append
+            for i in range(n):
+                if has_payload and iids[i] is not None:
+                    provider.rec = {
+                        "image_id": iids[i],
+                        "bytes": byts[i] if byts is not None else None,
+                        "w": ws[i], "h": hs[i], "fmt": fmts[i],
+                        "caption": caps[i],
+                        "phash": phs[i] if phs is not None else None,
+                    }
+                elif provider is not None:
+                    provider.rec = None
                 try:
-                    result = _scan_row(row, transport, cfg, cert_cache)
+                    result = _scan_row(
+                        targets[i], ports[i], p1s[i], p2s[i],
+                        transport, cfg, cert_cache, custom_headers,
+                    )
                 except Exception as e:  # containment — scanner.py:409-414
                     result = _empty_result()
                     result["error_type"] = "PROCESS"
                     result["error"] = f"{e.__class__.__name__}: {e}"
                     result["protocol"] = "unknown"
-                merged = {c: row.get(c) for c in passthrough_cols}
-                merged.update(result)
-                out_rows.append(merged)
-            yield pd.DataFrame.from_records(out_rows)
+                append(result)
+
+            # column-wise assembly: passthrough columns copy as whole arrays
+            # (row order is preserved 1:1), result columns gather per key
+            data = {c: pdf[c].values for c in passthrough_cols}
+            for key in _RESULT_KEYS:
+                data[key] = [r[key] for r in results]
+            yield pd.DataFrame(data)
 
     return fetch_batches
-
-
-class _RowProvider:
-    """record_provider backed by the row's joined payload columns; falls back
-    to deterministic regeneration for off-row pages (favicon neighbors etc. —
-    identical bytes by construction)."""
-
-    def __init__(self, rec: dict, fabric_cfg: FabricConfig):
-        self.rec = rec
-        self.cfg = fabric_cfg
-
-    def __call__(self, image_id: str) -> dict:
-        if image_id == self.rec["image_id"] and self.rec.get("caption") is not None:
-            return self.rec
-        from httpz_spark.sources.fabric import image_record
-
-        return image_record(image_id, self.cfg)

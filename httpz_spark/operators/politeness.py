@@ -29,12 +29,28 @@ def politeness_schedule(
     default_budget: int,
     host_col: str = "host",
     path_col: str = "path",
+    pre_salt: int = 16,
 ) -> DataFrame:
     """Adds ``sched_rank`` (1-based per-host rank in crawl order) and
     ``scheduled`` (rank <= budget); drops robots-disallowed paths.
 
     Callers split on ``scheduled``: selected rows fetch this wave, the rest
     stay in the frontier (budget-deferred, re-ranked next wave).
+
+    Hot-host scale shape (``pre_salt > 1``): a single window over
+    ``partitionBy(host)`` sorts one hot host's 10^8 pending URLs in ONE
+    task.  Instead, a salted local top-k — ``row_number() over (host,
+    pmod(url_hash, pre_salt))`` ≤ budget — prunes each host to at most
+    ``pre_salt × budget`` survivor rows first, and the exact per-host
+    window runs over survivors only.  This is EXACT for the decision that
+    matters: a row with true per-host rank ≤ budget has local rank ≤ budget
+    in its salt bucket (its global superiors are a superset of its bucket
+    superiors), so every truly-scheduled row survives pruning; conversely a
+    pruned row has ≥ budget superiors in its own bucket alone, so its true
+    rank > budget.  ``scheduled`` is therefore identical to the unsalted
+    window (property-tested); ``sched_rank`` is exact for scheduled rows
+    (all their superiors survive too) and NULL for pre-pruned rows —
+    deferred rows are re-ranked next wave anyway.
     """
     if robots is not None:
         r = F.broadcast(
@@ -56,9 +72,26 @@ def politeness_schedule(
     else:
         budget = F.lit(default_budget)
 
-    w = Window.partitionBy(host_col).orderBy(F.col("priority"), F.col("url_hash"))
-    df = df.withColumn("sched_rank", F.row_number().over(w))
-    df = df.withColumn("scheduled", F.col("sched_rank") <= budget)
+    order = [F.col("priority"), F.col("url_hash")]
+    if pre_salt and pre_salt > 1:
+        wl = Window.partitionBy(
+            F.col(host_col), F.pmod(F.col("url_hash"), F.lit(pre_salt))
+        ).orderBy(*order)
+        df = df.withColumn("_lr", F.row_number().over(wl))
+        survivors = df.filter(F.col("_lr") <= budget)
+        pruned = (
+            df.filter(F.col("_lr") > budget)
+            .withColumn("sched_rank", F.lit(None).cast("int"))
+            .withColumn("scheduled", F.lit(False))
+        )
+        w = Window.partitionBy(host_col).orderBy(*order)
+        survivors = survivors.withColumn("sched_rank", F.row_number().over(w))
+        survivors = survivors.withColumn("scheduled", F.col("sched_rank") <= budget)
+        df = survivors.unionByName(pruned).drop("_lr")
+    else:
+        w = Window.partitionBy(host_col).orderBy(*order)
+        df = df.withColumn("sched_rank", F.row_number().over(w))
+        df = df.withColumn("scheduled", F.col("sched_rank") <= budget)
     return df.drop("_budget", "_disallow")
 
 

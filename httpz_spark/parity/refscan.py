@@ -92,7 +92,11 @@ def _check_url(
         encoding = resp.charset or "utf-8"  # scanner.py:274
         if cfg.fetch_body:
             result["body_preview"] = R.body_preview(raw_body, encoding=encoding)
-        html_text = raw_body.decode(encoding, errors="replace")
+        try:
+            html_text = raw_body.decode(encoding, errors="replace")
+        except Exception:
+            # unknown codec -> utf-8 fallback (scanner.py:281-283)
+            html_text = raw_body.decode("utf-8", errors="replace")
         if cfg.fetch_body:
             result["body_clean"] = R.body_clean(html_text)
         if cfg.fetch_title:

@@ -244,7 +244,8 @@ class CrawlEngine:
             bits_per_key=ecfg.bloom_bits_per_key, bloom=bloom,
         )
         ranked = politeness_schedule(
-            unseen, self.robots, default_budget=ecfg.per_host_budget
+            unseen, self.robots, default_budget=ecfg.per_host_budget,
+            pre_salt=ecfg.politeness_pre_salt,
         )
         scheduled = ranked.filter(F.col("scheduled")).drop("scheduled", "sched_rank")
         deferred = ranked.filter(~F.col("scheduled")).drop("scheduled", "sched_rank")

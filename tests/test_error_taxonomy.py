@@ -18,9 +18,10 @@ cross-checks the final fields against the reference behavioral model.
 import pytest
 
 from httpz_spark.config import ScanConfig
-from httpz_spark.operators.fetch import _RowProvider, _scan_row
+from httpz_spark.operators.fetch import _scan_row
 from httpz_spark.parity import refscan
 from httpz_spark.sources import fabric as FB
+from httpz_spark.sources.transport import classify_exception
 
 WORLD = FB.FabricConfig(n_images=4096, n_hosts=2000).with_certs()
 
@@ -39,10 +40,8 @@ def find_url_of_class(predicate):
 
 def scan_one(host, path, **cfg_over):
     cfg = ScanConfig.all_on(retries=1, **cfg_over)
-    row = {"scan_target": host, "port": None,
-           "proto_first": "https", "proto_second": "http"}
     t = FB.FabricTransport(WORLD)
-    result = _scan_row(row, t, cfg, {})
+    result = _scan_row(host, None, "https", "http", t, cfg, {}, None)
     golden = refscan.check_domain(t, host, cfg, dns_map={}, cname_targets={})
     return result, golden
 
@@ -137,3 +136,63 @@ def test_match_codes_drop_error_rows():
     t = FB.FabricTransport(WORLD)
     out = refscan.scan([host], t, cfg, dns_map={}, cname_targets={})
     assert out == []  # status=-1 silently dropped (scanner.py:450-451)
+
+
+# ---------------------------------------------------------------------------
+# exception -> taxonomy classifier (transport seam; scanner.py:189-203)
+# ---------------------------------------------------------------------------
+
+# synthetic hierarchy mirroring aiohttp's subclass relationships:
+# ClientConnectorCertificateError < ClientSSLError < ClientConnectorError
+# < ClientError — the ladder must pick the MOST specific rung.
+class _ClientError(Exception):
+    pass
+
+
+class _ConnError(_ClientError):
+    pass
+
+
+class _SSLError(_ConnError):
+    pass
+
+
+class _CertError(_SSLError):
+    pass
+
+
+class _Timeout(Exception):
+    pass
+
+
+_CLASSES = {
+    "timeout": _Timeout,
+    "cert": _CertError,
+    "ssl": _SSLError,
+    "conn": _ConnError,
+    "client": _ClientError,
+}
+
+
+@pytest.mark.parametrize(
+    "exc, want_type, want_prefix",
+    [
+        (_Timeout("t"), "TIMEOUT", "Connection timed out"),
+        (_CertError("bad cert"), "CERT", "Certificate Error: bad cert"),
+        (_SSLError("bad ssl"), "SSL", "SSL Error: bad ssl"),
+        (_ConnError("refused"), "CONN", "Connection Failed: refused"),
+        (_ClientError("oops"), "HTTP", "HTTP Error: _ClientError: oops"),
+        (ValueError("x"), "UNKNOWN", "Error: ValueError: x"),
+    ],
+)
+def test_classify_exception_ladder(exc, want_type, want_prefix):
+    got_type, got_msg = classify_exception(exc, classes=_CLASSES)
+    assert got_type == want_type
+    assert got_msg == want_prefix
+
+
+def test_classifier_ordering_most_specific_wins():
+    # a CertError IS-A SSLError IS-A ConnError IS-A ClientError; the ladder
+    # must classify it CERT, not any of its ancestors (reference ordering)
+    got_type, _ = classify_exception(_CertError("x"), classes=_CLASSES)
+    assert got_type == "CERT"

@@ -64,3 +64,90 @@ def test_favicon_href_parity():
 def test_links():
     page = parse_page(CASES[9])
     assert page.hrefs == ["/x", "http://h.test/y"]
+
+
+# ---------------------------------------------------------------------------
+# fast-path scanner == HTMLParser equivalence (the dispatcher may route to a
+# regex scanner; its output must be indistinguishable from the exact parser)
+# ---------------------------------------------------------------------------
+
+def _pp_tuple(p):
+    return (p.title_raw, p.text_parts, p.favicon_href, p.hrefs)
+
+
+def _assert_equivalent(html):
+    from httpz_spark.functions.htmlx import parse_page, parse_page_htmlparser
+
+    got = _pp_tuple(parse_page(html))
+    want = _pp_tuple(parse_page_htmlparser(html))
+    assert got == want, html[:200]
+
+
+def test_fast_parser_equivalent_on_fabric_corpus():
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=256, n_hosts=16)
+    for i in range(256):
+        iid = FB.image_id_at(i)
+        host = FB.host_for_image(iid, world)
+        rec = {
+            "image_id": iid, "caption": FB.caption_for(iid, world),
+            "w": 40, "h": 30, "fmt": "png",
+        }
+        _assert_equivalent(FB.page_html(host, rec, world).decode("utf-8"))
+
+
+ADVERSARIAL = [
+    "",
+    "plain text only",
+    "<title>ok</title>",
+    "<title>bad <b>nested</b></title>",
+    "<title/><title>second</title>",
+    "<title>first</title><title>second</title>",
+    "<title>unterminated",
+    "<script>var x = '<title>not a title</title>';</script><title>t</title>",
+    "<script>no closer",
+    "<STYLE>body{}</STYLE>after",
+    "<noscript><p>inner</p></noscript>tail",
+    "<noscript><noscript>deep</noscript>mid</noscript>out",
+    "<link rel=\"icon\" href=\"/f.ico\"><link rel=\"icon\" href=\"/g.ico\">",
+    "<link rel=\"ICON SHORTCUT\" href=\"/f.ico\">",
+    "<link rel=\"stylesheet\" href=\"/s.css\"><link rel=\"icon\" href=\"/f.ico\">",
+    "<link rel=\"icon\">",  # first icon link wins even with no href
+    "<a href=\"/x\">x</a><a>nohref</a><a href=\"\">empty</a>",
+    "<a href='/single'>q</a>",
+    "<a href=/unquoted>u</a>",     # -> fallback path
+    "<a href=\"/a&amp;b\">amp</a>",  # charref -> fallback path
+    "<!-- comment --><title>t</title>",  # comment -> fallback
+    "<!DOCTYPE html><p>x</p>",      # declaration -> fallback
+    "<?php echo ?><p>x</p>",        # PI -> fallback
+    "a < b and c > d",              # stray '<' -> fallback
+    "<br/><br /><img src=\"x\"/>",
+    "<a href=\"/x\"/>self</a>",
+    "<b attr=\"va>lue\">gt in attr</b>",
+    "<p>text</p  >",
+    "<title></title>",
+    "<title> </title>",
+    "<div\ndata-x=\"1\">multiline tag</div>",
+    "<a href=\"/x\" href=\"/y\">dup attr</a>",
+    "<EM>UPPER TAGS</EM><A HREF=\"/UP\">U</A>",
+]
+
+
+def test_fast_parser_equivalent_on_adversarial_inputs():
+    for html in ADVERSARIAL:
+        _assert_equivalent(html)
+
+
+def test_fast_path_actually_taken_on_fabric_pages():
+    # guard against silently losing the speedup: fabric pages must route to
+    # the regex scanner, not the fallback
+    from httpz_spark.functions.htmlx import _parse_page_fast
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=8, n_hosts=4)
+    iid = FB.image_id_at(1)
+    rec = {"image_id": iid, "caption": FB.caption_for(iid, world),
+           "w": 40, "h": 30, "fmt": "png"}
+    html = FB.page_html("h1.test", rec, world).decode("utf-8")
+    assert _parse_page_fast(html) is not None

@@ -159,3 +159,57 @@ def test_decode_stub_poison_row(spark):
     df = spark.createDataFrame(rows, S.IMAGES_SCHEMA)
     out = M.decode_stats(df).collect()
     assert len(out) == 1 and out[0]["decode_ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# politeness: salted pre-prune == single-window (hot-host skew guard)
+# ---------------------------------------------------------------------------
+
+def _skewed_frontier(spark, n=60_000):
+    # 95% of rows on one hot host, the rest across 50 cold hosts
+    return spark.range(n).select(
+        F.when(F.col("id") % 20 < 19, F.lit("hot.test"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 50).cast("string"),
+                            F.lit(".test"))).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id").cast("string")).alias("path"),
+        F.xxhash64(F.col("id")).alias("url_hash"),
+        (F.col("id") % 3).cast("long").alias("priority"),
+    )
+
+
+def test_politeness_pre_salt_scheduled_set_exact(spark):
+    from httpz_spark.operators.politeness import politeness_schedule
+
+    df = _skewed_frontier(spark)
+    base = politeness_schedule(df, None, default_budget=7, pre_salt=0)
+    salted = politeness_schedule(df, None, default_budget=7, pre_salt=16)
+
+    key = ["host", "url_hash", "sched_rank"]
+    a = sorted(map(tuple, base.filter("scheduled").select(*key).collect()))
+    b = sorted(map(tuple, salted.filter("scheduled").select(*key).collect()))
+    assert a == b  # same rows AND same exact ranks for scheduled rows
+    # no rows lost: deferred + scheduled partitions the frontier
+    assert salted.count() == df.count()
+    assert salted.filter("scheduled").count() + salted.filter("NOT scheduled").count() == df.count()
+
+
+def test_politeness_pre_salt_with_robots_budgets(spark):
+    from httpz_spark.operators.politeness import politeness_schedule
+
+    df = _skewed_frontier(spark, n=20_000)
+    robots = spark.createDataFrame(
+        [("hot.test", 3, ["/p/1"]), ("h7.test", 1, [])],
+        "host string, per_wave_budget int, disallow array<string>",
+    )
+    base = politeness_schedule(df, robots, default_budget=5, pre_salt=0)
+    salted = politeness_schedule(df, robots, default_budget=5, pre_salt=8)
+    key = ["host", "url_hash", "sched_rank"]
+    a = sorted(map(tuple, base.filter("scheduled").select(*key).collect()))
+    b = sorted(map(tuple, salted.filter("scheduled").select(*key).collect()))
+    assert a == b
+    # per-host budget respected
+    per_host = {r["host"]: r["n"] for r in
+                salted.filter("scheduled").groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.test"] == 3
+    assert per_host.get("h7.test", 0) <= 1
+    assert base.count() == salted.count()
