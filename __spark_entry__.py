@@ -213,6 +213,18 @@ def q_domain_parse(spark, sf_dir):
     )
 
 
+def q_human_size(spark, sf_dir):
+    # A30: utils.py:86-104 human_size over synthesized byte counts spanning
+    # all four units + the falsy '0B' branch
+    from httpz_spark.functions.text import human_size
+
+    o = _t(spark, sf_dir, "orders")
+    size = F.when(F.col("o_orderkey") % 11 == 0, F.lit(0).cast("long")).otherwise(
+        (F.col("o_orderkey").cast("long") * 7919) % F.lit(5000000000).cast("long")
+    )
+    return o.select("o_orderkey", human_size(size).alias("hsize"))
+
+
 def q_exact_dedup(spark, sf_dir):
     from httpz_spark.operators.dedup import exact_dedup
 
@@ -286,7 +298,10 @@ def q_embedding_near_dups(spark, sf_dir):
     from httpz_spark.operators.dedup import embedding_near_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    dup = e.limit(3).select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    # deterministic dup block (limit() without order would be plan-dependent)
+    dup = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
     return embedding_near_pairs(e.unionByName(dup), threshold=0.999).select(
         "a", "b", F.round("cos_sim", 6).alias("cos_sim")
     )
@@ -333,6 +348,9 @@ def q_frontier_crawl(spark, sf_dir):
 
     world = FB.FabricConfig(n_images=32, n_hosts=8).with_certs()
     state = tempfile.mkdtemp(prefix="httpz_entryq_")
+    # detach the returned frame from the (deleted) state dir by staging the
+    # selection to its own parquet — no driver-side collect()
+    out_dir = tempfile.mkdtemp(prefix="httpz_entryq_out_")
     try:
         eng = CrawlEngine(
             spark, S.images_df(spark, world, 2), S.dns_df(spark, world),
@@ -342,11 +360,10 @@ def q_frontier_crawl(spark, sf_dir):
         )
         eng.init_frontier(S.seeds_df(spark, S.seed_url_lines(world)))
         eng.crawl(max_waves=2)
-        res = eng.store.read("results").select(
+        eng.store.read("results").select(
             "url_canon", "url_hash", "status", "protocol", "wave_id", "depth"
-        )
-        res = spark.createDataFrame(res.collect(), res.schema)  # detach from state dir
-        return res.orderBy("wave_id", "url_hash")
+        ).write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("wave_id", "url_hash")
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -386,13 +403,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_partition_dist": _shipped(q_hash_partition_dist),
         "url_canonicalize": _shipped(q_url_canonicalize),
         "domain_parse": _shipped(q_domain_parse),
+        "human_size": _shipped(q_human_size),
         # training-data pipeline (oracled)
         "exact_dedup": _shipped(q_exact_dedup),
         "text_stats": _shipped(q_text_stats),
         "lang_id": _shipped(q_lang_id),
         "ngram_jaccard_dups": _shipped(q_ngram_jaccard_dups),
         "cosine_topk": _shipped(q_cosine_topk),
-        # rows-only (murmur3/xxhash64 kernels, fabric, iterative state)
+        # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
+        # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
         "simhash_near_dups": _shipped(q_simhash_near_dups),
         "embedding_near_dups": _shipped(q_embedding_near_dups),
@@ -403,8 +422,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_GOLDEN = os.path.join(_REPO, "golden")
+
+
+def _golden_sql(name: str, cols: str) -> str:
+    """Oracle for non-SQL-expressible kernels: a committed golden parquet
+    computed by an INDEPENDENT driver-side reimplementation (pure-python
+    XXH64/murmur3, sequential-fold float math, the refscan reference
+    behavioral model, a plain-python BFS crawl simulator) —
+    scripts/make_goldens.py.  DuckDB replays it verbatim."""
+    return f"SELECT {cols} FROM read_parquet('{_GOLDEN}/{name}.parquet')"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # golden-file oracles (murmur3/xxhash64 kernels, fabric, iterative
+        # wave state — DuckDB lacks the kernels; see scripts/make_goldens.py)
+        "minhash_lsh_dups": _golden_sql("minhash_lsh_dups", "a, b, jaccard"),
+        "simhash_near_dups": _golden_sql("simhash_near_dups", "a, b, hamming"),
+        "embedding_near_dups": _golden_sql("embedding_near_dups", "a, b, cos_sim"),
+        "lsh_ann_topk": _golden_sql(
+            "lsh_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
+        "crawl_single_wave": _golden_sql(
+            "crawl_single_wave",
+            "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),
+        "frontier_crawl": _golden_sql(
+            "frontier_crawl",
+            "url_canon, url_hash, status, protocol, wave_id, depth"),
+        "multimodal_decode": _golden_sql(
+            "multimodal_decode",
+            "image_id, w, h, fmt, decode_ok, mean_lum, phash_check"),
         "shard_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem
@@ -475,6 +522,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE c_custkey % 4 WHEN 0 THEN 'http' ELSE 'https' END AS proto_first
             FROM customer
         """,
+        "human_size": """
+            SELECT o_orderkey,
+                   CASE WHEN s = 0 THEN '0B'
+                        WHEN s < 1024 THEN printf('%.1f', s * 1.0) || 'B'
+                        WHEN s < 1048576 THEN printf('%.1f', s / 1024.0) || 'KB'
+                        WHEN s < 1073741824 THEN printf('%.1f', s / 1048576.0) || 'MB'
+                        ELSE printf('%.1f', s / 1073741824.0) || 'GB' END AS hsize
+            FROM (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 0
+                          ELSE (o_orderkey * 7919) % 5000000000 END AS s
+              FROM orders
+            )
+        """,
         "exact_dedup": f"""
             SELECT md5({_NORM_DUCK_LOWER}) AS text_hash,
                    min(doc_id) AS keep_id, count(*) AS n_dups
@@ -537,11 +598,22 @@ def oracle_sql() -> dict[str, str]:
                           ELSE array_to_string(ws, ' ') END AS shingle
               FROM w, unnest(range(1, greatest(len(ws) - 1, 2))) AS u(i)
             ),
+            rare AS (  -- df-capped candidate generation (hot-shingle guard)
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM sh a
+              JOIN rare r ON a.shingle = r.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (
-              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
+            common AS (  -- exact verify over ALL shingles of each candidate
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
             )
             SELECT c.a, c.b,
                    round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard

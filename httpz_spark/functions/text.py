@@ -20,9 +20,10 @@ def normalize_ws(c: Column) -> Column:
     """Collapse whitespace runs to single spaces and strip — parsers.py:77-82.
 
     Python's ``re`` ``\\s`` is unicode-aware; Java needs the embedded (?U)
-    flag for the same class.  (Known residual divergence: U+001C..。U+001F,
+    flag for the same class.  (Known residual divergence: U+001C..U+001F,
     which python treats as whitespace but Unicode White_Space excludes —
-    covered by the pandas-UDF parity variant in operators/enrich.py.)
+    the fetch path uses the python-side ``refmodel.normalize_text`` for
+    bit-parity; this native column is for bulk text-pipeline operators.)
     """
     return F.regexp_replace(F.regexp_replace(c, r"(?U)\s+", " "), r"^ +| +$", "")
 

@@ -130,29 +130,37 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_k: int = 3, threshold: float = 0.8,
+    shingle_k: int = 3, threshold: float = 0.8, max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard over ALL co-shingled pairs (no LSH): explode
-    -> equi-join on shingle -> pair counts.  Cost scales with shingle
-    collision counts, not n² — fine when shingles are discriminative."""
+    """Word-k-gram Jaccard pairs: candidates from an equi self-join on
+    shingles, exact Jaccard verify over ALL shingles of each candidate.
+
+    ``max_df`` is the hot-shingle guard: a shingle shared by d documents
+    contributes d²/2 candidate join rows, so one stop-phrase trigram with
+    df=10^6 would explode to 10^12 rows.  Shingles with df > max_df are
+    excluded from CANDIDATE GENERATION only — the verify step still counts
+    them, so reported jaccard values are exact.  Semantics: pairs that
+    share at least one shingle with df <= max_df (standard LSH-style
+    candidate pruning; df-capped candidates + exact verify).  Set
+    ``max_df=None`` for the exhaustive all-co-shingled-pairs behavior."""
     sh = word_shingles(docs, text_col, id_col, shingle_k)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
         )
+        cand_sh = sh.join(rare, "shingle")
+    else:
+        cand_sh = sh
+    a, b = cand_sh.alias("a"), cand_sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
     )
-    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:

@@ -263,6 +263,7 @@ def make_fetch_stage(
     fabric_cfg: FabricConfig,
     passthrough_cols: list,
     transport_factory=None,
+    stop_file: str | None = None,
 ):
     """Build the mapInPandas function.  ``passthrough_cols`` are copied from
     input to output verbatim (keys, payload, cname/ips columns).
@@ -270,13 +271,22 @@ def make_fetch_stage(
     ``transport_factory(record_provider) -> Transport`` is the production
     seam: default is the deterministic fabric; a real deploy passes e.g.
     ``lambda rp: AiohttpTransport(timeout_s=cfg.timeout)`` (the provider is
-    fabric-specific and real transports ignore it)."""
+    fabric-specific and real transports ignore it).
+
+    ``stop_file``: cooperative-stop sentinel checked before EVERY Arrow
+    batch; when present the task raises, aborting the staging job before
+    its commit (the engine's drain semantics — plans/frontier.py)."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cert_cache: dict = {}
         custom_headers = dict(cfg.custom_headers) if cfg.custom_headers else None
 
         for pdf in batches:
+            if stop_file is not None:
+                import os
+
+                if os.path.exists(stop_file):
+                    raise RuntimeError("cooperative stop requested")
             n = len(pdf)
             if n == 0:
                 continue

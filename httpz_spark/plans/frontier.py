@@ -92,6 +92,10 @@ def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame, wave_i
         out.withColumnRenamed("_depth", "depth")
         .withColumn("priority", F.col("depth").cast("long"))
         .withColumn("wave_id", F.lit(wave_id).cast("int"))
+        # a blank/whitespace-only line canonicalizes to 'https:///' with an
+        # empty host — drop it here so every ingest path (seeds, streaming,
+        # discovered links) is phantom-free, not just scan_plan's nonblank()
+        .filter(F.col("host") != "")
         .select(*FRONTIER_COLS)
     )
 
@@ -117,6 +121,40 @@ class CrawlEngine:
         self.fabric_cfg = fabric_cfg
         self.store = StateStore(spark, state_dir or engine_cfg.state_dir)
 
+    # -- cooperative stop -------------------------------------------------------
+    # The reference's stop() drains in-flight requests and discards queued
+    # work (scanner.py:167-175,420-428).  The wave engine's analogue: a
+    # sentinel file checked (a) between stages on the driver and (b) at
+    # every Arrow batch inside the fetch UDF.  A stop mid-fetch aborts the
+    # staging job before its commit, so resume re-runs the wave exactly; a
+    # stop after staging returns before the merges, which the resumed run
+    # applies idempotently — final tables are byte-identical either way
+    # (tested in tests/test_frontier.py::test_cooperative_stop_*).
+
+    def _stop_file(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "_stop")
+
+    def request_stop(self) -> None:
+        """Ask a running crawl to drain and stop at the next safe point.
+        Callable from another process: the sentinel is a file."""
+        with open(self._stop_file(), "w") as f:
+            f.write("stop")
+
+    def stop_requested(self) -> bool:
+        import os
+
+        return os.path.exists(self._stop_file())
+
+    def clear_stop(self) -> None:
+        import os
+
+        try:
+            os.remove(self._stop_file())
+        except FileNotFoundError:
+            pass
+
     # -- lifecycle ------------------------------------------------------------
     def init_frontier(self, seed_urls: DataFrame, url_col: str = "raw") -> None:
         """Seeds -> frontier wave 0 (idempotent: no-op if state exists)."""
@@ -139,8 +177,10 @@ class CrawlEngine:
         done = self.committed_waves()
         wave = (max(done) + 1) if done else 0
         while wave < max_waves:
+            if self.stop_requested():
+                break
             stats = self.run_wave(wave)
-            if stats["n_ready"] == 0:
+            if stats.get("stopped") or stats["n_ready"] == 0:
                 break
             wave += 1
         return self.store.read("results")
@@ -155,19 +195,46 @@ class CrawlEngine:
         frontier = self.store.read("frontier")
         if frontier is None:
             raise RuntimeError("init_frontier() first")
-        n_ready = frontier.count()
-        if n_ready == 0:
-            self._commit_lineage(wave_id, n_ready, 0, 0, 0, {}, t0)
-            return {"n_ready": 0, "wave_id": wave_id}
 
         staging_out = f"wave{wave_id}_out"
         staging_def = f"wave{wave_id}_deferred"
+        staging_meta = f"wave{wave_id}_meta"
         if not self.store.exists(staging_out):
+            if self.stop_requested():
+                return {"n_ready": -1, "stopped": True, "wave_id": wave_id}
+            n_ready = frontier.count()
+            if n_ready == 0:
+                self._commit_lineage(wave_id, 0, 0, 0, 0, {}, t0)
+                return {"n_ready": 0, "wave_id": wave_id}
             scheduled, deferred = self._schedule(frontier)
-            # deferred first; staging_out is the completion marker
+            # deferred + the n_ready snapshot first; staging_out is the
+            # completion marker.  n_ready is snapshotted with the staging so
+            # a crash AFTER the frontier overwrite below still commits the
+            # lineage row of THIS wave's input, not the advanced frontier's.
             self.store.write(staging_def, deferred.select(*FRONTIER_COLS))
-            self.store.write(staging_out, self._fetch(scheduled, wave_id))
+            self.store.write(
+                staging_meta,
+                self.spark.createDataFrame([(int(n_ready),)], "n_ready long"),
+            )
+            try:
+                self.store.write(staging_out, self._fetch(scheduled, wave_id))
+            except Exception:
+                if self.stop_requested():
+                    # in-UDF cooperative abort: staging never committed, so
+                    # a resumed run re-executes this wave exactly
+                    return {"n_ready": -1, "stopped": True, "wave_id": wave_id}
+                raise
 
+        if self.stop_requested():
+            # staged but unmerged: the resumed run reuses the staging and
+            # applies the (idempotent) merges — drain semantics without loss
+            return {"n_ready": -1, "stopped": True, "wave_id": wave_id}
+
+        meta = self.store.read(staging_meta)
+        if meta is not None:
+            n_ready = meta.collect()[0]["n_ready"]
+        else:  # staging from an older layout/partial write: degrade to the
+            n_ready = frontier.count()  # live count (metrics-only drift)
         out = self.store.read(staging_out)
         deferred = self.store.read(staging_def)
 
@@ -195,7 +262,20 @@ class CrawlEngine:
                 discovered, "u", depth=F.col("_pd") + 1, wave_id=wave_id + 1
             )
             next_frontier = next_frontier.unionByName(disc_frontier)
-        next_frontier = next_frontier.dropDuplicates(["url_hash"])
+        # deterministic cross-source dedup: a URL that is BOTH deferred and
+        # freshly discovered keeps the shallowest (priority, wave_id,
+        # url_canon) row — dropDuplicates would pick an arbitrary one and
+        # break bit-exact resume/oracle comparisons
+        others = [c for c in FRONTIER_COLS if c != "url_hash"]
+        next_frontier = (
+            next_frontier.groupBy("url_hash")
+            .agg(F.min_by(
+                F.struct(*others),
+                F.struct("priority", "wave_id", "url_canon"),
+            ).alias("_r"))
+            .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in others])
+            .select(*FRONTIER_COLS)
+        )
         self.store.write("frontier", next_frontier)
 
         errs = {
@@ -206,6 +286,11 @@ class CrawlEngine:
         n_fetched = out.count()
         n_deferred = deferred.count()
         self._commit_lineage(wave_id, n_ready, n_fetched, n_deferred, n_fetched, errs, t0)
+        # lineage row committed = wave durable; staging served its purpose
+        # (idempotent re-run) and is GC'd so state-dir disk stays O(corpus),
+        # not O(waves x corpus)
+        for staging in (staging_out, staging_def, staging_meta):
+            self.store.drop(staging)
         return {
             "wave_id": wave_id, "n_ready": n_ready, "n_fetched": n_fetched,
             "n_deferred": n_deferred, "errors": errs, "secs": time.time() - t0,
@@ -275,24 +360,28 @@ class CrawlEngine:
         meta_names = [n for n, _t in META]
         df = df.join(self.images.select("image_id", *meta_names), "image_id", "left")
 
-        # python stage carries only (url_hash key, image_id) — the frontier
-        # columns rejoin JVM-side (url_hash is unique after in-wave dedup);
-        # round-tripping wide columns through Arrow measured 3x slower
-        passthrough = [("url_hash", "long"), ("image_id", "string")]
+        # the slim frontier columns ride the python stage as passthrough
+        # (whole-array copies in the batch loop — measured cheaper than the
+        # former JVM rejoin, which shuffled the FAT fetch output rows; at
+        # 100 TB the post-fetch shuffle of body-bearing rows is the one to
+        # avoid).  Payload BYTES still join post-fetch only.
+        passthrough = [
+            ("url_hash", "long"), ("image_id", "string"),
+            ("url_canon", "string"), ("host", "string"), ("path", "string"),
+            ("depth", "int"), ("priority", "long"),
+        ]
         pass_names = [n for n, _t in passthrough]
         pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
 
         df = salted_repartition(df, ecfg.partitions, ecfg.salt_buckets)
-        stage = make_fetch_stage(scfg, self.fabric_cfg, pass_names)
+        stage = make_fetch_stage(
+            scfg, self.fabric_cfg, pass_names, stop_file=self._stop_file()
+        )
         fetch_in = df.select(
             *pass_names, *[n for n, _t in META],
             "scan_target", "port", "proto_first", "proto_second",
         )
         out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
-        out = out.join(
-            scheduled.select("url_hash", "url_canon", "host", "path", "depth", "priority"),
-            "url_hash",
-        )
         if ecfg.include_payload:
             out = out.join(
                 self.images.select(

@@ -187,6 +187,10 @@ def test_resume_after_kill_is_exact(spark, world):
         frontier = eng_b.store.read("frontier")
         scheduled, deferred = eng_b._schedule(frontier)
         eng_b.store.write("wave1_deferred", deferred.select(*frontier.columns))
+        eng_b.store.write(
+            "wave1_meta",
+            spark.createDataFrame([(int(frontier.count()),)], "n_ready long"),
+        )
         eng_b.store.write("wave1_out", eng_b._fetch(scheduled, 1))
         del eng_b  # "kill" before merges/lineage
         eng_b2 = make_engine(spark, world, b_dir)
@@ -201,5 +205,58 @@ def test_resume_after_kill_is_exact(spark, world):
         assert table_fingerprint(
             eng_a2.store.read("results"), ["url_hash", "status", "title", "wave_id"]
         ) == want_results
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cooperative_stop_and_resume_exact(spark, world):
+    """Mid-wave stop() drains cleanly: (a) a stop between waves halts the
+    loop, (b) a stop during the fetch UDF aborts staging pre-commit; both
+    resume to tables byte-identical to an uninterrupted run."""
+    base = tempfile.mkdtemp(prefix="httpz_stop_")
+    try:
+        full_dir = f"{base}/full"
+        eng_full = make_engine(spark, world, full_dir)
+        eng_full.init_frontier(seed_df(spark, world))
+        eng_full.crawl(max_waves=4)
+        want = table_fingerprint(
+            eng_full.store.read("results"), ["url_hash", "status", "title", "wave_id"]
+        )
+
+        # (a) stop between waves
+        a_dir = f"{base}/a"
+        eng = make_engine(spark, world, a_dir)
+        eng.init_frontier(seed_df(spark, world))
+        eng.run_wave(0)
+        eng.request_stop()
+        eng.crawl(max_waves=4)  # no-op: drained
+        assert eng.committed_waves() == {0}
+        eng.clear_stop()
+        eng.crawl(max_waves=4)
+        got = table_fingerprint(
+            eng.store.read("results"), ["url_hash", "status", "title", "wave_id"]
+        )
+        assert got == want
+
+        # (b) stop lands while the fetch UDF is running: the staging job
+        # aborts before commit and run_wave reports stopped
+        b_dir = f"{base}/b"
+        eng_b = make_engine(spark, world, b_dir)
+        eng_b.init_frontier(seed_df(spark, world))
+        eng_b.run_wave(0)
+        frontier = eng_b.store.read("frontier")
+        scheduled, _deferred = eng_b._schedule(frontier)
+        eng_b.request_stop()
+        with pytest.raises(Exception, match="cooperative stop"):
+            eng_b._fetch(scheduled, 1).count()  # in-UDF sentinel trips
+        stats = eng_b.run_wave(1)
+        assert stats.get("stopped") is True
+        assert not eng_b.store.exists("wave1_out")  # staging never committed
+        eng_b.clear_stop()
+        eng_b.crawl(max_waves=4)
+        got_b = table_fingerprint(
+            eng_b.store.read("results"), ["url_hash", "status", "title", "wave_id"]
+        )
+        assert got_b == want
     finally:
         shutil.rmtree(base, ignore_errors=True)

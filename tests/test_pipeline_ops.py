@@ -213,3 +213,28 @@ def test_politeness_pre_salt_with_robots_budgets(spark):
     assert per_host["hot.test"] == 3
     assert per_host.get("h7.test", 0) <= 1
     assert base.count() == salted.count()
+
+
+def test_ngram_df_cap_hot_shingle(spark):
+    """A stop-phrase trigram shared by 1k docs must not quadratically blow
+    up candidate generation; final pairs (post-threshold) are unchanged
+    because the cap only prunes candidates whose every shared shingle is
+    hot — and those can't reach a meaningful jaccard."""
+    rows = [
+        (i, f"the common phrase unique{i} token{i} series{i} data{i} item{i}")
+        for i in range(1000)
+    ]
+    rows.append((2000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((2001, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r["a"], r["b"], round(r["jaccard"], 6))
+              for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=100).collect()}
+    assert (2000, 2001, round(5 / 7, 6)) in capped
+    # no hot-doc pair survives: their only shared shingle is the hot one
+    assert all(not (a < 1000 and b < 1000) for a, b, _ in capped)
+
+    # exhaustive (uncapped) result agrees after thresholding
+    full = {(r["a"], r["b"], round(r["jaccard"], 6))
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()}
+    assert capped == full
