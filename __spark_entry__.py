@@ -319,6 +319,18 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    from httpz_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(e, queries, k=3, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def q_crawl_single_wave(spark, sf_dir):
     from httpz_spark.config import ScanConfig
     from httpz_spark.plans.scan import scan_plan
@@ -416,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _shipped(q_simhash_near_dups),
         "embedding_near_dups": _shipped(q_embedding_near_dups),
         "lsh_ann_topk": _shipped(q_lsh_ann_topk),
+        "ivf_ann_topk": _shipped(q_ivf_ann_topk),
         "crawl_single_wave": _shipped(q_crawl_single_wave),
         "frontier_crawl": _shipped(q_frontier_crawl),
         "multimodal_decode": _shipped(q_multimodal_decode),
@@ -443,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _golden_sql("embedding_near_dups", "a, b, cos_sim"),
         "lsh_ann_topk": _golden_sql(
             "lsh_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
+        "ivf_ann_topk": _golden_sql(
+            "ivf_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

@@ -256,9 +256,27 @@ def cpu_ceiling_probe() -> dict:
     return out
 
 
+def _level_ceiling(cpus: int, per: int = 3000) -> float:
+    """Same-workload multiprocessing ceiling at THIS level, measured in the
+    same subprocess/minute as the Spark runs — on a shared VM the ambient
+    steal changes minute to minute, so each level's Spark number must be
+    read against a ceiling taken under the same load."""
+    import multiprocessing as mp
+
+    with mp.Pool(cpus) as p:
+        p.map(_mp_fetch_work, [(0, 300)] * cpus)  # warm imports/caches
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            p.map(_mp_fetch_work, [(k * per, (k + 1) * per) for k in range(cpus)])
+            best = max(best, cpus * per / (time.time() - t0))
+    return best
+
+
 def run_probe(cpus: int, reps: int = 3) -> None:
     """Subprocess entry for --scaling: crawl workload, warm-up + best-of-N
-    (best-of de-noises hypervisor steal on this shared VM)."""
+    (best-of de-noises hypervisor steal on this shared VM), plus the
+    same-load machine ceiling for normalization."""
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     crawl_workload(spark, cpus)  # warm-up (JIT, codegen, python workers)
@@ -271,6 +289,8 @@ def run_probe(cpus: int, reps: int = 3) -> None:
         best["dedup_sec"] = min(best["dedup_sec"], out["dedup_sec"])
         best["dedup_plain_sec"] = min(best["dedup_plain_sec"], out["dedup_plain_sec"])
     best["cpus"] = cpus
+    spark.stop()
+    best["ceiling_urls_per_sec"] = _level_ceiling(cpus)
     print("PROBE_JSON:" + json.dumps(best))
 
 
@@ -312,6 +332,13 @@ def run_scaling() -> None:
             "dedup_plain": eff(4 * n, n, "dedup_plain_sec", invert=True),
             "dedup_bloom": eff(4 * n, n, "dedup_ops_per_sec"),
         }
+    util = {
+        c: results[c]["urls_per_sec"] / results[c]["ceiling_urls_per_sec"]
+        for c in (4, 8, 16, 32)
+    }
+    norm_pairs = {
+        f"{n}_to_{4 * n}": round(util[4 * n] / util[n], 3) for n in (4, 8)
+    }
     report = {
         "levels": results,
         "efficiency": pairs,
@@ -322,10 +349,11 @@ def run_scaling() -> None:
             "4_to_16": round(ceiling["eff_4_to_16"], 3),
             "8_to_32": round(ceiling["eff_8_to_32"], 3),
         },
-        "spark_vs_ceiling": {
-            str(c): round(results[c]["urls_per_sec"] / ceiling[c], 3)
-            for c in (4, 8, 16, 32)
+        "same_load_ceiling_urls_per_sec": {
+            str(c): round(results[c]["ceiling_urls_per_sec"], 0) for c in (4, 8, 16, 32)
         },
+        "spark_vs_same_load_ceiling": {str(c): round(util[c], 3) for c in (4, 8, 16, 32)},
+        "normalized_efficiency": norm_pairs,
     }
     print(json.dumps(report, indent=2))
 
@@ -352,7 +380,19 @@ def run_scaling() -> None:
         + " | ".join(f"{ceiling[c]:,.0f}" for c in (4, 8, 16, 32))
         + f" | {ceiling['eff_4_to_16']:.3f} | {ceiling['eff_8_to_32']:.3f} |"
     )
-    vs = report["spark_vs_ceiling"]
+    slc = {c: results[c]["ceiling_urls_per_sec"] for c in (4, 8, 16, 32)}
+    ceil_row += (
+        "\n| same-load ceiling (measured in each level's own probe minute) | "
+        + " | ".join(f"{slc[c]:,.0f}" for c in (4, 8, 16, 32))
+        + f" | {(slc[16] / slc[4]) / 4:.3f} | {(slc[32] / slc[8]) / 4:.3f} |"
+    )
+    ne = report["normalized_efficiency"]
+    ceil_row += (
+        "\n| **URLs fetched/sec, load-normalized (spark÷same-load-ceiling)** | "
+        + " | ".join(f"{util[c]:.1%}" for c in (4, 8, 16, 32))
+        + f" | **{ne['4_to_16']:.3f}** | **{ne['8_to_32']:.3f}** |"
+    )
+    vs = report["spark_vs_same_load_ceiling"]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput + N->4N scaling evidence\n\n"
@@ -371,14 +411,15 @@ def run_scaling() -> None:
             "|---|---|---|---|---|---|---|\n"
             + "\n".join(rows) + "\n"
             + ceil_row + "\n\n"
-            "Machine context: shared Firecracker VM with hypervisor steal.  The\n"
-            "ceiling row runs the IDENTICAL fetch-stage function via plain\n"
-            "multiprocessing (no Spark, no shuffle, no scheduler): it is the\n"
-            "maximum any engine could deliver on this host at each level, so the\n"
-            "honest scaling read is Spark-vs-ceiling utilization: "
-            f"{', '.join(f'local[{c}] {float(vs[str(c)]):.0%}' for c in (4, 8, 16, 32))}.\n"
-            "Efficiency numbers at 8->32 are capped by the host (the ceiling row\n"
-            "itself fails to scale there), not by the engine's plan.\n\n"
+            "Machine context: shared Firecracker VM with hypervisor steal that\n"
+            "varies minute to minute (ambient load avg swings 2-12 from other\n"
+            "tenants).  The ceiling rows run the IDENTICAL fetch-stage function\n"
+            "via plain multiprocessing (no Spark, no shuffle, no scheduler): the\n"
+            "maximum ANY engine could deliver on this host; the same-load ceiling\n"
+            "is taken inside each level's own probe minute, so the load-normalized\n"
+            "row (Spark ÷ same-load ceiling) isolates ENGINE-attributable scaling\n"
+            "from tenancy noise.  Spark-vs-same-load-ceiling utilization: "
+            f"{', '.join(f'local[{c}] {float(vs[str(c)]):.0%}' for c in (4, 8, 16, 32))}.\n\n"
             f"Raw: `{json.dumps(report)}`\n"
         )
     print("wrote BENCH/BASELINE.md")

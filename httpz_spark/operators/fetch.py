@@ -311,6 +311,30 @@ def make_fetch_stage(
                 fmts = pdf["fmt"].tolist()
                 byts = pdf["bytes"].tolist() if "bytes" in cols else None
                 phs = pdf["phash"].tolist() if "phash" in cols else None
+                if "host" in cols and "path" in cols:
+                    # frontier rows resolve page-path image ids natively and
+                    # leave root/odd paths NULL — resolve those here (rare)
+                    # so the emitted image_id column is complete; their
+                    # payload record regenerates in-transport either way
+                    from httpz_spark.sources.fabric import page_image_id
+
+                    hosts = pdf["host"].tolist()
+                    paths = pdf["path"].tolist()
+                    fixed = False
+                    for i in range(n):
+                        if iids[i] is None and hosts[i] is not None:
+                            hp = hosts[i]
+                            bare = (
+                                hp.rsplit(":", 1)[0]
+                                if ":" in hp and hp.rsplit(":", 1)[1].isdigit()
+                                else hp
+                            )
+                            iids[i] = page_image_id(
+                                bare, paths[i] or "/", fabric_cfg
+                            )
+                            fixed = True
+                    if fixed and "image_id" in passthrough_cols:
+                        pdf = pdf.assign(image_id=iids)
 
             results = []
             append = results.append

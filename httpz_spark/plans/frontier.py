@@ -28,10 +28,8 @@ from __future__ import annotations
 
 import time
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from httpz_spark.config import EngineConfig, ScanConfig
 from httpz_spark.functions import urls as U
@@ -40,26 +38,11 @@ from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
 from httpz_spark.operators.politeness import politeness_schedule, salted_repartition
 from httpz_spark.plans.scan import META, PAYLOAD, make_url_hash64_udf
 from httpz_spark.plans.statestore import StateStore
-from httpz_spark.sources.fabric import FabricConfig, page_image_id
+from httpz_spark.sources.fabric import FabricConfig
 
 FRONTIER_COLS = [
     "url_canon", "url_hash", "host", "path", "scheme", "depth", "priority", "wave_id",
 ]
-
-
-def make_page_image_udf(fabric_cfg: FabricConfig):
-    @pandas_udf("string")
-    def page_image_udf(host: pd.Series, path: pd.Series) -> pd.Series:
-        out = []
-        for hp, p in zip(host, path):
-            if hp is None:
-                out.append(None)
-                continue
-            bare = hp.rsplit(":", 1)[0] if ":" in hp and hp.rsplit(":", 1)[1].isdigit() else hp
-            out.append(page_image_id(bare, p or "/", fabric_cfg))
-        return pd.Series(out, dtype="object")
-
-    return page_image_udf
 
 
 def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame, wave_id: int) -> DataFrame:
@@ -319,7 +302,10 @@ class CrawlEngine:
 
     def _schedule(self, frontier: DataFrame) -> tuple:
         ecfg = self.engine_cfg
-        ready = frontier.dropDuplicates(["url_hash"])
+        # the frontier is unique by url_hash BY CONSTRUCTION (init_frontier
+        # dedupes; next_frontier is a groupBy(url_hash) output) — a per-wave
+        # dropDuplicates here would re-shuffle the whole frontier for nothing
+        ready = frontier
         seen = self.store.read("seen")
         # adaptive dedup path: plain JVM anti-join until the seen table is
         # big enough that skipping its scan pays for the bloom probe
@@ -332,7 +318,9 @@ class CrawlEngine:
             unseen, self.robots, default_budget=ecfg.per_host_budget,
             pre_salt=ecfg.politeness_pre_salt,
         )
-        scheduled = ranked.filter(F.col("scheduled")).drop("scheduled", "sched_rank")
+        # sched_rank stays on the scheduled side: _fetch salts hot hosts by
+        # floor((rank-1)/target) — free, perfectly balanced (politeness.py)
+        scheduled = ranked.filter(F.col("scheduled")).drop("scheduled")
         deferred = ranked.filter(~F.col("scheduled")).drop("scheduled", "sched_rank")
         if ecfg.wave_limit is not None:
             scheduled = scheduled.orderBy("priority", "url_hash").limit(ecfg.wave_limit)
@@ -353,8 +341,16 @@ class CrawlEngine:
             "proto_second",
             F.when(F.col("scheme") == "http", F.lit("https")).otherwise(F.lit("http")),
         )
-        page_image_udf = make_page_image_udf(self.fabric_cfg)
-        df = df.withColumn("image_id", page_image_udf(F.col("host"), F.col("path")))
+        # image_id resolves NATIVELY from the path tail for page URLs (the
+        # dominant shape); root/odd paths get NULL here and are resolved
+        # inside the fetch stage's batch loop (operators/fetch.py) — this
+        # keeps the wave at exactly ONE python stage.  The image_id column
+        # is only the payload-lookup key: a NULL just misses the meta join
+        # and the transport regenerates the record in-stage, so results are
+        # identical either way (the fetch stage emits the resolved id).
+        tail = F.regexp_extract(F.col("path"), r"([^/]*)$", 1)
+        is_page = (~F.col("path").isin("", "/")) & tail.rlike("^img[0-9]+$")
+        df = df.withColumn("image_id", F.when(is_page, tail))
         # pre-fetch join carries LIGHT metadata only (AQE broadcasts);
         # heavy bytes join post-fetch so they never ride this shuffle
         meta_names = [n for n, _t in META]
@@ -373,7 +369,11 @@ class CrawlEngine:
         pass_names = [n for n, _t in passthrough]
         pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
 
-        df = salted_repartition(df, ecfg.partitions, ecfg.salt_buckets)
+        rank_col = "sched_rank" if "sched_rank" in df.columns else None
+        df = salted_repartition(
+            df, ecfg.partitions, ecfg.salt_buckets,
+            adaptive_target=ecfg.hot_host_threshold, rank_col=rank_col,
+        )
         stage = make_fetch_stage(
             scfg, self.fabric_cfg, pass_names, stop_file=self._stop_file()
         )

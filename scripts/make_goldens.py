@@ -326,6 +326,37 @@ def golden_lsh_ann_topk(k=3, planes=6):
     }))
 
 
+def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4):
+    emb = load_embeddings()
+    vecs = dict(emb)
+    # deterministic coarse quantizer: embeddings of the n smallest ids
+    cents = [vecs[vid] for vid in sorted(vecs)[:n_centroids]]
+
+    def cell_of(v):
+        coss = [seq_cos(v, c) for c in cents]
+        return coss.index(max(coss))  # first index of max == array_position
+
+    cells = {vid: cell_of(v) for vid, v in emb}
+    rows = []
+    for qid, qv in [(vid, v) for vid, v in emb if vid < 8]:
+        coss = [seq_cos(qv, c) for c in cents]
+        probe = [i for _, i in sorted((-c, i) for i, c in enumerate(coss))[:nprobe]]
+        probe = set(probe)
+        scored = [
+            (seq_cos(vecs[vid], qv), vid)
+            for vid, cl in cells.items() if cl in probe
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, vid) in enumerate(scored[:k], start=1):
+            rows.append((qid, vid, spark_round(c), rank))
+    write_golden("ivf_ann_topk", pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+        "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # crawl_single_wave — the refscan reference behavioral model IS the oracle
 # ---------------------------------------------------------------------------
@@ -585,6 +616,7 @@ GOLDENS = {
     "simhash_near_dups": golden_simhash,
     "embedding_near_dups": golden_embedding_near_dups,
     "lsh_ann_topk": golden_lsh_ann_topk,
+    "ivf_ann_topk": golden_ivf_ann_topk,
     "crawl_single_wave": golden_crawl_single_wave,
     "frontier_crawl": golden_frontier_crawl,
     "multimodal_decode": golden_multimodal_decode,

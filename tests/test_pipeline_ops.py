@@ -184,10 +184,12 @@ def test_politeness_pre_salt_scheduled_set_exact(spark):
     base = politeness_schedule(df, None, default_budget=7, pre_salt=0)
     salted = politeness_schedule(df, None, default_budget=7, pre_salt=16)
 
-    key = ["host", "url_hash", "sched_rank"]
-    a = sorted(map(tuple, base.filter("scheduled").select(*key).collect()))
-    b = sorted(map(tuple, salted.filter("scheduled").select(*key).collect()))
-    assert a == b  # same rows AND same exact ranks for scheduled rows
+    # the distributed-rank path is exact for EVERY row (scheduled AND
+    # deferred), not just the scheduled set
+    key = ["host", "url_hash", "sched_rank", "scheduled"]
+    a = sorted(map(tuple, base.select(*key).collect()))
+    b = sorted(map(tuple, salted.select(*key).collect()))
+    assert a == b
     # no rows lost: deferred + scheduled partitions the frontier
     assert salted.count() == df.count()
     assert salted.filter("scheduled").count() + salted.filter("NOT scheduled").count() == df.count()
@@ -238,3 +240,48 @@ def test_ngram_df_cap_hot_shingle(spark):
     full = {(r["a"], r["b"], round(r["jaccard"], 6))
             for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()}
     assert capped == full
+
+
+def test_ivf_ann_topk(spark, emb):
+    import numpy as np
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_ann_topk(emb, queries, k=3, n_centroids=16, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(6))
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid, neigh in by_q.items():
+        assert [r["rank"] for r in sorted(neigh, key=lambda r: r["rank"])] == [1, 2, 3]
+        # rank-1 must be the query itself (it's in the corpus, cos=1, and
+        # its own cell is always probed)
+        assert neigh[0]["neighbor_id"] == qid or any(
+            r["neighbor_id"] == qid for r in neigh
+        )
+        # cosine values match numpy within float tolerance
+        q = rows[qid]
+        for r in neigh:
+            v = rows[r["neighbor_id"]]
+            want = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            assert abs(r["cos_sim"] - want) < 1e-9
+
+
+def test_lsh_multi_probe_recall_dominates(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    single = recall(SIM.lsh_ann_topk(emb, queries, k=5, planes=4))
+    multi = recall(SIM.lsh_ann_topk(emb, queries, k=5, planes=4, multi_probe=True))
+    assert multi >= single
+    assert multi >= 0.45  # measured 0.55 vs 0.325 single at this corpus
