@@ -5,7 +5,7 @@ The payload table follows ``BASELINE.json:input_hint`` exactly:
 caption string, phash bigint)``.
 
 Generation is embarrassingly parallel and **order-independent**: every cell
-is a pure function of ``image_id`` (via murmur3), so the same table comes
+is a pure function of ``image_id`` (via the fabric's blake2b RNG), so the same table comes
 out regardless of partitioning — the property that lets a 10^10-row frontier
 be synthesized as hash ranges on a cluster without any coordination.
 """

@@ -66,3 +66,79 @@ def ingest_and_crawl(
     if not engine.store.exists("frontier"):
         raise RuntimeError("no seeds ingested")
     return engine.crawl(max_waves=max_waves)
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed metrics + custom stateful dedup (SURVEY §2 Part B
+# streaming/stateful rows): the two Structured-Streaming shapes the batch
+# engine doesn't need internally but a production deployment watches.
+# ---------------------------------------------------------------------------
+
+def crawl_rate_metrics(
+    events: DataFrame,
+    window_secs: int = 60,
+    slide_secs: int | None = None,
+    watermark_secs: int = 120,
+) -> DataFrame:
+    """Per-(host, time-window) crawl telemetry over a stream of fetch events
+    ``(ts timestamp, host string, status int, latency_ms double)``.
+
+    Late events are handled with an event-time watermark: rows later than
+    ``watermark_secs`` behind the max seen event time are dropped and the
+    window state is evicted — bounded state at any stream length (the
+    streaming analogue of the batch lineage table)."""
+    win = F.window(
+        F.col("ts"),
+        f"{window_secs} seconds",
+        f"{slide_secs or window_secs} seconds",
+    )
+    return (
+        events.withWatermark("ts", f"{watermark_secs} seconds")
+        .groupBy(win.alias("win"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("status") < 0, 1).otherwise(0)).alias("n_errors"),
+            F.avg("latency_ms").alias("avg_latency_ms"),
+        )
+    )
+
+
+def streaming_unseen(
+    stream_df: DataFrame,
+    partitions: int = 32,
+    url_hash_col: str = "url_hash",
+    url_col: str = "raw",
+) -> DataFrame:
+    """Exactly-once streaming URL-seen dedup — ``applyInPandasWithState``
+    keyed on ``pmod(url_hash, partitions)``; each group's state is its seen
+    hash set (a pickled python set in a binary state column, the streaming
+    analogue of the per-partition BloomIndex).  Emits only first-ever
+    occurrences ACROSS micro-batches; state persists in the streaming
+    checkpoint, so a restarted query keeps suppressing (tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        import pickle
+
+        seen = pickle.loads(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for uh, url in zip(pdf[url_hash_col].tolist(), pdf[url_col].tolist()):
+                if uh not in seen:
+                    seen.add(uh)
+                    rows.append((uh, url))
+        state.update((pickle.dumps(seen),))
+        yield pd.DataFrame(rows, columns=[url_hash_col, url_col])
+
+    return (
+        stream_df.withColumn("_pid", F.pmod(F.col(url_hash_col), F.lit(partitions)))
+        .groupBy("_pid")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=f"{url_hash_col} long, {url_col} string",
+            stateStructType="seen binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

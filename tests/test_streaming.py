@@ -68,3 +68,91 @@ def test_streaming_ingest_dedups_frontier(spark, world):
         assert fr.count() == 1  # canonicalization collapses both forms
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crawl_rate_metrics_watermarked(spark, tmp_path):
+    """Windowed crawl telemetry over a file stream: watermark present in
+    the plan, per-(host, window) counts correct across micro-batches."""
+    import json
+    import time as _time
+
+    from httpz_spark.streaming.micro import crawl_rate_metrics
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b0.json", [
+        {"ts": "2026-01-01T00:00:05", "host": "h0.test", "status": 200, "latency_ms": 10.0},
+        {"ts": "2026-01-01T00:00:25", "host": "h0.test", "status": -1, "latency_ms": 0.0},
+        {"ts": "2026-01-01T00:00:45", "host": "h1.test", "status": 200, "latency_ms": 30.0},
+        {"ts": "2026-01-01T00:01:10", "host": "h0.test", "status": 200, "latency_ms": 20.0},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, host string, status int, latency_ms double")
+        .json(str(src))
+    )
+    agg = crawl_rate_metrics(stream, window_secs=60, watermark_secs=120)
+    assert "eventTimeWatermark" in agg._jdf.queryExecution().logical().toString() or \
+           "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+    q = (
+        agg.writeStream.format("memory").queryName("rates")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination()
+    rows = {(r["host"], r["win"]["start"].minute): (r["n_fetched"], r["n_errors"])
+            for r in spark.sql("SELECT * FROM rates").collect()}
+    assert rows[("h0.test", 0)] == (2, 1)
+    assert rows[("h1.test", 0)] == (1, 0)
+    assert rows[("h0.test", 1)] == (1, 0)
+
+
+def test_streaming_unseen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-set: duplicates are suppressed WITHIN a
+    batch and ACROSS micro-batches/restarts (state survives in the
+    checkpoint)."""
+    import json
+
+    from httpz_spark.streaming.micro import streaming_unseen
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "sink")
+
+    def run_available(qname):
+        # parquet sink: supports restart-from-checkpoint (memory sink can't)
+        stream = (
+            spark.readStream.schema("url_hash long, raw string").json(str(src))
+        )
+        out = streaming_unseen(stream, partitions=8)
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination()
+        return [(r["url_hash"], r["raw"]) for r in
+                spark.read.parquet(sink).collect()]
+
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"url_hash": 1, "raw": "https://a.test/1"},
+        {"url_hash": 2, "raw": "https://a.test/2"},
+        {"url_hash": 1, "raw": "https://a.test/1"},   # in-batch dup
+    ]))
+    got1 = sorted(run_available("unseen1"))
+    assert got1 == [(1, "https://a.test/1"), (2, "https://a.test/2")]
+
+    # second batch, same checkpoint: 2 is suppressed by persisted state —
+    # the sink accumulates, so the delta is exactly the new unseen row
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        {"url_hash": 2, "raw": "https://a.test/2"},
+        {"url_hash": 3, "raw": "https://a.test/3"},
+    ]))
+    got2 = sorted(run_available("unseen2"))
+    assert got2 == sorted(got1 + [(3, "https://a.test/3")])
