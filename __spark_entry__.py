@@ -319,6 +319,17 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    # rolling-hash document fingerprints (winnowing) — exploded to rows so
+    # the oracle compare is value-exact without array stringification
+    from httpz_spark.operators.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import ivf_ann_topk
 
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _shipped(q_embedding_near_dups),
         "lsh_ann_topk": _shipped(q_lsh_ann_topk),
         "ivf_ann_topk": _shipped(q_ivf_ann_topk),
+        "winnow_fingerprints": _shipped(q_winnow_fingerprints),
         "crawl_single_wave": _shipped(q_crawl_single_wave),
         "frontier_crawl": _shipped(q_frontier_crawl),
         "multimodal_decode": _shipped(q_multimodal_decode),
@@ -458,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
             "lsh_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
         "ivf_ann_topk": _golden_sql(
             "ivf_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
+        "winnow_fingerprints": _golden_sql("winnow_fingerprints", "doc_id, fp"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

@@ -425,10 +425,81 @@ def run_scaling() -> None:
     print("wrote BENCH/BASELINE.md")
 
 
+def run_wavesize(cpus: int = 32) -> None:
+    """Wave-size sensitivity at full width: per-wave costs (schedule,
+    shuffle barriers, Arrow setup) amortize as waves grow — the regime a
+    10^10-URL frontier actually runs in.  Appends results to
+    BENCH/BASELINE.md."""
+    import shutil
+    import tempfile
+
+    from httpz_spark.config import EngineConfig, ScanConfig
+    from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    world = FB.FabricConfig(n_images=CRAWL_IMAGES, n_hosts=CRAWL_HOSTS).with_certs()
+    images = S.images_df(spark, world, partitions=cpus).persist()
+    images.count()
+    results = {}
+    for n in (512_000, 1_000_000, 2_000_000):
+        page_seeds = [
+            f"https://{FB.host_for_image(FB.image_id_at(i % CRAWL_IMAGES), world)}"
+            f"/d{i // CRAWL_IMAGES}/{FB.image_id_at(i % CRAWL_IMAGES)}"
+            for i in range(n)
+        ]
+        seeds = S.seeds_df(spark, page_seeds).repartition(cpus).persist()
+        seeds.count()
+        state = tempfile.mkdtemp(prefix="httpz_ws_")
+        try:
+            eng = CrawlEngine(
+                spark, images, None, None, ScanConfig.all_on(),
+                EngineConfig(partitions=2 * cpus, per_host_budget=1 << 30,
+                             salt_buckets=8, use_bloom=False,
+                             include_payload=False),
+                world, state_dir=state,
+            )
+            eng.init_frontier(seeds)
+            frontier = eng.store.read("frontier").persist()
+            frontier.count()
+            best = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                sched, _d = eng._schedule(frontier)
+                got = eng._fetch(sched, 0).count()
+                best = max(best, got / (time.time() - t0))
+            results[n] = best
+            frontier.unpersist()
+        finally:
+            seeds.unpersist()
+            shutil.rmtree(state, ignore_errors=True)
+    spark.stop()
+    ceiling = _level_ceiling(cpus)
+    lines = [
+        f"\n## Wave-size sensitivity at local[{cpus}] (--wavesize)\n\n"
+        "Per-wave fixed costs (scheduling stages, shuffle barriers, Arrow\n"
+        "setup) amortize as waves grow — the regime a 10^10-URL frontier\n"
+        "runs in (per-wave URL counts in the millions):\n\n"
+        "| wave size | URLs/sec | % of same-minute machine ceiling "
+        f"({ceiling:,.0f}/s) |\n|---|---|---|\n"
+    ]
+    for n, thr in results.items():
+        lines.append(f"| {n:,} | {thr:,.0f} | {thr / ceiling:.0%} |\n")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.writelines(lines)
+    print(json.dumps({str(k): round(v) for k, v in results.items()}))
+    print("appended to BENCH/BASELINE.md")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
         run_probe(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wavesize":
+        run_wavesize(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
     else:
         run_default()

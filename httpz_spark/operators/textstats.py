@@ -83,6 +83,31 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalize_ws_ascii(text))
 
 
+def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the rolling-hash document-fingerprint scheme): hash every char k-gram
+    of the normalized lowercase text, keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive k-gram hashes, return the distinct
+    kept hashes sorted.  Guarantees: any shared substring of length
+    ``k + window - 1`` between two documents yields at least one shared
+    fingerprint, while storing only ~2/(window+1) of all k-gram hashes.
+
+    Entirely native array expressions (sequence/transform/slice/array_min)
+    — one codegen'd projection, no UDF, no shuffle."""
+    norm = normalize_ws_ascii(F.lower(text))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substr(norm, i, F.lit(k))
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_wins = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

@@ -326,6 +326,24 @@ def golden_lsh_ann_topk(k=3, planes=6):
     }))
 
 
+def golden_winnow_fingerprints(k=8, window=4):
+    """Winnowing recompute: char k-gram XXH64 rolling mins, as rows
+    (doc_id, fp) matching the exploded Spark output."""
+    rows = []
+    for doc_id, text in load_documents():
+        norm = normalized_lower(text)
+        n_grams = max(len(norm) - (k - 1), 1)
+        hashes = [xxh64_str(norm[i:i + k]) for i in range(n_grams)]
+        n_wins = max(n_grams - (window - 1), 1)
+        wins = [min(hashes[j:j + window]) for j in range(n_wins)]
+        for fp in sorted(set(wins)):
+            rows.append((doc_id, fp))
+    write_golden("winnow_fingerprints", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fp": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
 def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4):
     emb = load_embeddings()
     vecs = dict(emb)
@@ -617,6 +635,7 @@ GOLDENS = {
     "embedding_near_dups": golden_embedding_near_dups,
     "lsh_ann_topk": golden_lsh_ann_topk,
     "ivf_ann_topk": golden_ivf_ann_topk,
+    "winnow_fingerprints": golden_winnow_fingerprints,
     "crawl_single_wave": golden_crawl_single_wave,
     "frontier_crawl": golden_frontier_crawl,
     "multimodal_decode": golden_multimodal_decode,

@@ -285,3 +285,27 @@ def test_lsh_multi_probe_recall_dominates(spark, emb):
     multi = recall(SIM.lsh_ann_topk(emb, queries, k=5, planes=4, multi_probe=True))
     assert multi >= single
     assert multi >= 0.45  # measured 0.55 vs 0.325 single at this corpus
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint texts
+    (virtually) share none."""
+    shared = "the identical plagiarized passage lives right here"
+    rows = [
+        (1, f"alpha beginning text {shared} and a unique alpha tail"),
+        (2, f"totally different opening {shared} with another ending"),
+        (3, "no overlap with anything else at all in this one zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = docs.select(
+        "doc_id", F.explode(TS.winnow_fingerprints(F.col("text"), k=8, window=4)).alias("fp")
+    ).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]          # shared passage -> shared fingerprint
+    assert not (fps[1] & fps[3])    # disjoint docs -> disjoint prints
+    # compression: far fewer fingerprints than k-grams
+    n_grams = len(rows[0][1]) - 7
+    assert len(fps[1]) < n_grams / 2
