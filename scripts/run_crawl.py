@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# plain `python scripts/run_crawl.py` puts scripts/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -34,17 +39,18 @@ def main(argv=None) -> int:
     ap.add_argument("--match-codes", default=None, help="e.g. 200,301-399")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
     from httpz_spark.config import EngineConfig, ScanConfig
     from httpz_spark.parity.refmodel import parse_status_codes
     from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.session import get_spark
     from httpz_spark.sources import fabric as FB
     from httpz_spark.sources import synthetic as S
     from httpz_spark.sources.seeds import seeds_from_text
 
-    # under spark-submit the session already exists; standalone runs build one
-    spark = SparkSession.builder.appName("httpz_spark-crawl").getOrCreate()
+    # under spark-submit the session already exists (getOrCreate reuses it);
+    # standalone runs build one — get_spark ships the package zip to the
+    # executor python workers either way (the --py-files analogue)
+    spark = get_spark(app_name="httpz_spark-crawl")
     spark.sparkContext.setLogLevel("WARN")
 
     match = frozenset(parse_status_codes(args.match_codes)) if args.match_codes else None
