@@ -391,6 +391,28 @@ def q_frontier_crawl(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_payload_validation(spark, sf_dir):
+    # the north-star per-row fetch invariant (PSNR>=40dB + caption equality
+    # + phash consistency) over a full payload-carrying scan wave
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.operators.multimodal import validate_payloads
+    from httpz_spark.plans.scan import scan_plan
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=48, n_hosts=12).with_certs()
+    seeds = S.seeds_df(spark, S.seed_domain_lines(world))
+    res = scan_plan(
+        spark, seeds, S.images_df(spark, world, 4), S.dns_df(spark, world),
+        ScanConfig.all_on(), world, include_payload=True,
+    )
+    v = validate_payloads(res, world)
+    return v.select(
+        "url_hash", "image_id", "decode_ok", "pixel_ok",
+        F.round("psnr_db", 4).alias("psnr_db"), "caption_ok", "phash_ok", "valid",
+    ).orderBy("url_hash")
+
+
 def q_multimodal_decode(spark, sf_dir):
     from httpz_spark.operators.multimodal import decode_stats
     from httpz_spark.sources import fabric as FB
@@ -444,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_single_wave": _shipped(q_crawl_single_wave),
         "frontier_crawl": _shipped(q_frontier_crawl),
         "multimodal_decode": _shipped(q_multimodal_decode),
+        "payload_validation": _shipped(q_payload_validation),
     }
 
 
@@ -480,6 +503,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _golden_sql(
             "multimodal_decode",
             "image_id, w, h, fmt, decode_ok, mean_lum, phash_check"),
+        "payload_validation": _golden_sql(
+            "payload_validation",
+            "url_hash, image_id, decode_ok, pixel_ok, psnr_db, caption_ok, "
+            "phash_ok, valid"),
         "shard_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem

@@ -54,8 +54,8 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         std_lum=float(px.std()),
                         phash_check=average_hash(px),
                     )
-                except NotImplementedError:
-                    pass  # real-codec stub path: flagged, not fatal
+                except Exception:  # stub codec OR corrupt bytes —
+                    pass               # flagged, never fatal (poison-safe)
                 out.append(row)
             yield pd.DataFrame.from_records(out)
 
@@ -79,7 +79,7 @@ def resize_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     px = decode_image(bytes(r.bytes), r.fmt)
-                except NotImplementedError:
+                except Exception:  # stub codec OR corrupt bytes: skip row
                     continue
                 gray = px.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
@@ -120,7 +120,7 @@ def image_embeddings(images: DataFrame, dim: int = 64) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     px = decode_image(bytes(r.bytes), r.fmt)
-                except NotImplementedError:
+                except Exception:  # stub codec OR corrupt bytes: skip row
                     continue
                 gray = px.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
@@ -173,3 +173,77 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+# ---------------------------------------------------------------------------
+# the north-star per-row fetch invariant, as a DISTRIBUTED stage
+# (BASELINE.json input_hint: "decoded-pixel allclose (PSNR>=40dB for lossy)
+# + caption equality"; previously only enforced by a driver-side test)
+# ---------------------------------------------------------------------------
+
+VALIDATION_SCHEMA = (
+    "url_hash long, image_id string, decode_ok boolean, pixel_ok boolean, "
+    "psnr_db double, caption_ok boolean, phash_ok boolean, valid boolean"
+)
+
+
+def validate_payloads(results: DataFrame, fabric_cfg, psnr_min: float = 40.0) -> DataFrame:
+    """Validate every fetched payload row against the reference source:
+
+    * decode the stored ``bytes`` and compare with the regenerated
+      reference pixels — exact for lossless, PSNR >= ``psnr_min`` dB for
+      lossy (``pixel_ok``);
+    * the payload table's ``caption`` must appear verbatim (normalized) in
+      the fetched page's ``body_clean`` (``caption_ok`` — caption
+      equality between the stored row and what the crawl observed);
+    * ``phash`` must equal the hash recomputed from the decoded pixels
+      (``phash_ok``).
+
+    Runs as one ``mapInPandas`` stage (Arrow batches, numpy decode); rows
+    without a fetched payload (final-error rows, non-page URLs) emit
+    ``valid = NULL`` — they have nothing to validate."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from httpz_spark.codecs.images import average_hash, decode_image, psnr
+        from httpz_spark.parity.refmodel import normalize_text
+        from httpz_spark.sources.fabric import image_pixels
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                row = {
+                    "url_hash": r.url_hash, "image_id": r.image_id,
+                    "decode_ok": None, "pixel_ok": None, "psnr_db": None,
+                    "caption_ok": None, "phash_ok": None, "valid": None,
+                }
+                fetched = r.status is not None and r.status >= 0
+                if fetched and r.image_id is not None and r.bytes is not None:
+                    try:
+                        px = decode_image(bytes(r.bytes), r.fmt)
+                        ref = image_pixels(r.image_id, fabric_cfg)
+                        # lossless rows give PSNR=inf; cap at 99 dB so the
+                        # column stays finite (round/oracle-friendly)
+                        p = min(psnr(px, ref), 99.0)
+                        row.update(
+                            decode_ok=True, psnr_db=float(p),
+                            pixel_ok=bool(p >= psnr_min),
+                            phash_ok=bool(average_hash(px) == r.phash),
+                        )
+                    except Exception:  # stub codec OR corrupt bytes
+                        row.update(decode_ok=False, pixel_ok=False,
+                                   phash_ok=False)
+                    if r.caption is not None and r.body_clean is not None:
+                        row["caption_ok"] = normalize_text(r.caption) in r.body_clean
+                    else:
+                        row["caption_ok"] = False
+                    row["valid"] = bool(
+                        row["decode_ok"] and row["pixel_ok"]
+                        and row["caption_ok"] and row["phash_ok"]
+                    )
+                out.append(row)
+            yield pd.DataFrame.from_records(out)
+
+    cols = ["url_hash", "image_id", "bytes", "fmt", "caption", "phash",
+            "body_clean", "status"]
+    return results.select(*cols).mapInPandas(run, schema=VALIDATION_SCHEMA)

@@ -629,6 +629,74 @@ def golden_multimodal_decode():
     }))
 
 
+def golden_payload_validation(psnr_min=40.0):
+    """Independent recompute of the per-row fetch invariant over the same
+    scan wave as golden_crawl_single_wave: refscan supplies body_clean /
+    status per seed; pixels, psnr, phash recompute from the fabric's
+    deterministic codec functions."""
+    from httpz_spark.codecs.images import average_hash, decode_image, psnr
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.functions.hashing import hash64_low
+    from httpz_spark.parity import refmodel as R
+    from httpz_spark.parity import refscan
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=48, n_hosts=12).with_certs()
+    lines = S.seed_domain_lines(world)
+    cfg = ScanConfig.all_on()
+    transport = FB.FabricTransport(world)
+    dns_map = {h.lower(): FB.dns_for_host(h, world) for h in FB.all_hosts(world)}
+    cmap = FB.cname_map(world)
+    results = refscan.scan(lines, transport, cfg, dns_map=dns_map, cname_targets=cmap)
+
+    by_domain = {}
+    for raw in (ln.strip() for ln in lines if ln.strip()):
+        base, _port, _protos = R.parse_domain_url(raw)
+        by_domain[base] = raw
+
+    rows = []
+    for g in results:
+        raw = by_domain[g["domain"]]
+        base, _port, _protos = R.parse_domain_url(raw)
+        chain = R.resolve_cname_chain(base, cmap)
+        scan_target = chain[-1] if chain else base
+        image_id = FB.root_image_id(scan_target, world)
+        rec = FB.image_record(image_id, world)
+        row = {
+            "url_hash": hash64_low(raw.encode("utf-8")), "image_id": image_id,
+            "decode_ok": None, "pixel_ok": None, "psnr_db": None,
+            "caption_ok": None, "phash_ok": None, "valid": None,
+        }
+        if g.get("status", -1) >= 0:
+            px = decode_image(rec["bytes"], rec["fmt"])
+            ref = FB.image_pixels(image_id, world)
+            p = min(psnr(px, ref), 99.0)
+            row.update(
+                decode_ok=True, psnr_db=spark_round(float(p), 4),
+                pixel_ok=bool(p >= psnr_min),
+                phash_ok=bool(average_hash(px) == rec["phash"]),
+            )
+            bc = g.get("body_clean")
+            row["caption_ok"] = (
+                bc is not None and R.normalize_text(rec["caption"]) in bc
+            )
+            row["valid"] = bool(row["decode_ok"] and row["pixel_ok"]
+                                and row["caption_ok"] and row["phash_ok"])
+        rows.append(row)
+    rows.sort(key=lambda r: r["url_hash"])
+    write_golden("payload_validation", pa.table({
+        "url_hash": pa.array([r["url_hash"] for r in rows], pa.int64()),
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "decode_ok": pa.array([r["decode_ok"] for r in rows], pa.bool_()),
+        "pixel_ok": pa.array([r["pixel_ok"] for r in rows], pa.bool_()),
+        "psnr_db": pa.array([r["psnr_db"] for r in rows], pa.float64()),
+        "caption_ok": pa.array([r["caption_ok"] for r in rows], pa.bool_()),
+        "phash_ok": pa.array([r["phash_ok"] for r in rows], pa.bool_()),
+        "valid": pa.array([r["valid"] for r in rows], pa.bool_()),
+    }))
+
+
 GOLDENS = {
     "minhash_lsh_dups": golden_minhash,
     "simhash_near_dups": golden_simhash,
@@ -636,6 +704,7 @@ GOLDENS = {
     "lsh_ann_topk": golden_lsh_ann_topk,
     "ivf_ann_topk": golden_ivf_ann_topk,
     "winnow_fingerprints": golden_winnow_fingerprints,
+    "payload_validation": golden_payload_validation,
     "crawl_single_wave": golden_crawl_single_wave,
     "frontier_crawl": golden_frontier_crawl,
     "multimodal_decode": golden_multimodal_decode,

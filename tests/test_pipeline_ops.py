@@ -309,3 +309,45 @@ def test_winnow_fingerprints_guarantee(spark):
     # compression: far fewer fingerprints than k-grams
     n_grams = len(rows[0][1]) - 7
     assert len(fps[1]) < n_grams / 2
+
+
+def test_payload_validation_invariant(spark):
+    """North-star per-row invariant as a distributed stage: every
+    successfully fetched payload validates (PSNR>=40dB, caption in body,
+    phash consistent); corrupted bytes and wrong captions are caught."""
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.operators.multimodal import validate_payloads
+    from httpz_spark.plans.scan import scan_plan
+    from httpz_spark.sources import synthetic as SYN
+
+    world = FB.FabricConfig(n_images=24, n_hosts=6).with_certs()
+    res = scan_plan(
+        spark, SYN.seeds_df(spark, SYN.seed_domain_lines(world)),
+        SYN.images_df(spark, world, 2), SYN.dns_df(spark, world),
+        ScanConfig.all_on(), world, include_payload=True,
+    )
+    out = validate_payloads(res, world).collect()
+    fetched = [r for r in out if r["valid"] is not None]
+    assert fetched and all(r["valid"] for r in fetched)
+    assert all(r["psnr_db"] >= 40.0 for r in fetched)
+
+    # negative: corrupt the stored bytes and the caption -> flags trip
+    bad = res.withColumn("bytes", F.lit(b"\x00garbage").cast("binary")) \
+             .withColumn("caption", F.lit("not the real caption"))
+    bad_out = [r for r in validate_payloads(bad, world).collect()
+               if r["valid"] is not None]
+    assert bad_out and all(not r["valid"] for r in bad_out)
+    assert all(r["decode_ok"] is False for r in bad_out)
+    assert all(r["caption_ok"] is False for r in bad_out)
+
+
+def test_decode_poison_corrupt_png_sig(spark):
+    """Bytes that START with a valid PNG signature but are corrupt must not
+    kill the task either (zlib/struct errors contained, not just the
+    real-codec NotImplementedError stub path)."""
+    rows = [("corrupt", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+             8, 8, "png", "c", 0)]
+    df = spark.createDataFrame(rows, S.IMAGES_SCHEMA)
+    out = M.decode_stats(df).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False
+    assert M.resize_thumbnails(df).count() == 0  # skipped, no crash
