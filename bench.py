@@ -393,6 +393,16 @@ def run_scaling() -> None:
         + f" | **{ne['4_to_16']:.3f}** | **{ne['8_to_32']:.3f}** |"
     )
     vs = report["spark_vs_same_load_ceiling"]
+    # preserve addendum sections (wave-size tables, variance notes) across
+    # rewrites of the headline table
+    addendum = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if "\n## " in old:
+            addendum = "\n## " + old.split("\n## ", 1)[1]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput + N->4N scaling evidence\n\n"
@@ -421,6 +431,7 @@ def run_scaling() -> None:
             "from tenancy noise.  Spark-vs-same-load-ceiling utilization: "
             f"{', '.join(f'local[{c}] {float(vs[str(c)]):.0%}' for c in (4, 8, 16, 32))}.\n\n"
             f"Raw: `{json.dumps(report)}`\n"
+            + addendum
         )
     print("wrote BENCH/BASELINE.md")
 
