@@ -118,6 +118,10 @@ _SIMPLE_BODY_RE = re.compile(
     r"""(?:\s+[a-zA-Z_][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:"[^"]*"|'[^']*'))?)*\s*(/?)$"""
 )
 _CDATA_TAGS = ("script", "style")  # HTMLParser parses these in CDATA mode
+# HTMLParser.set_cdata_mode's `interesting` regex verbatim: CDATA content
+# ends ONLY at '</' + optional ws + tag + optional ws + '>' — '</scripts>'
+# does NOT close, '</ script >' DOES (divergence found by round-2 review)
+_CDATA_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _CDATA_TAGS}
 
 
 def _attrs_of(body: str) -> dict:
@@ -146,7 +150,6 @@ def _parse_page_fast(html: str) -> PageParse | None:
     favicon_done = False
     hrefs: list = []
 
-    lower = None  # lazily lowered copy for CDATA close search
     pos = 0
     n = len(html)
     while pos < n:
@@ -187,15 +190,10 @@ def _parse_page_fast(html: str) -> PageParse | None:
                 in_title = True
         elif tag in _CDATA_TAGS:
             if not selfclosing:
-                if lower is None:
-                    lower = html.lower()
-                close = lower.find(f"</{tag}", pos)
-                if close < 0:
+                cm = _CDATA_CLOSE[tag].search(html, pos)
+                if cm is None:
                     break  # unterminated CDATA: rest is (skipped) content
-                gt = html.find(">", close)
-                if gt < 0:
-                    break
-                pos = gt + 1
+                pos = cm.end()
         elif tag == "noscript":
             if not selfclosing:
                 noscript_depth += 1

@@ -8,10 +8,15 @@ runs the retry/fallback state machine per row, performs enrichment
 
 Scale properties:
 
-* Parallelism = partitions × per-partition concurrency.  With the synthetic
-  fabric the per-row work is CPU-bound, so rows run sequentially per task;
-  a real aiohttp transport would run them under an asyncio semaphore
-  (concurrent_limit per task — scanner.py:430-440's analogue).
+* Parallelism = partitions × per-partition concurrency.  The per-row scan
+  state machine is sans-IO (a generator yielding fetch requests): with the
+  CPU-bound synthetic fabric rows run sequentially per task, while
+  real-network transports exposing ``fetch_many`` drive ALL rows of the
+  batch as interleaved coroutines under an asyncio semaphore
+  (concurrent_limit in flight per task — scanner.py:430-440's analogue), so
+  production throughput is concurrency-bound, not latency-bound.  Same
+  state machine either way ⇒ identical results by construction (tested with
+  a latency-injecting fake transport).
 * No driver round-trips: config + fabric rules travel in the closure;
   payload rows ride the batch (the sandbox substitute for the network).
 * Certs are parsed once per distinct DER per batch (hosts share certs).
@@ -37,7 +42,7 @@ from httpz_spark.functions.tlsx import parse_cert_der
 from httpz_spark.functions.ua import ua_for
 from httpz_spark.parity import refmodel as R
 from httpz_spark.sources.fabric import FabricConfig, FabricTransport, image_record
-from httpz_spark.sources.transport import TransportError
+from httpz_spark.sources.transport import drive_scan_sync
 
 RESULT_COLUMNS = (
     "url string, status int, protocol string, "
@@ -64,6 +69,16 @@ def fetch_output_schema(passthrough: str) -> str:
     return f"{passthrough}, {RESULT_COLUMNS}"
 
 
+def _process_row(e: BaseException) -> dict:
+    """Containment row for a row whose scan logic itself blew up —
+    scanner.py:409-414 (PROCESS) semantics."""
+    result = _empty_result()
+    result["error_type"] = "PROCESS"
+    result["error"] = f"{e.__class__.__name__}: {e}"
+    result["protocol"] = "unknown"
+    return result
+
+
 def _empty_result() -> dict:
     return {
         "url": None, "status": -1, "protocol": None, "response_headers": None,
@@ -76,10 +91,16 @@ def _empty_result() -> dict:
 
 
 def _fetch_one(
-    transport, url: str, protocol: str, cfg: ScanConfig,
+    url: str, protocol: str, cfg: ScanConfig,
     attempt: int, cert_cache: dict, custom_headers: dict | None,
-) -> dict:
-    """One attempt — the engine's column-shaped analogue of scanner.py:206-309."""
+):
+    """One attempt — the engine's column-shaped analogue of scanner.py:206-309.
+
+    Sans-IO generator: every network round-trip is a ``yield (url, protocol,
+    kwargs)`` request answered with ``(response, transport_error)``.  The
+    SAME state machine runs under the sequential driver (fabric/CPU-bound
+    transports) and the asyncio-concurrent driver (real-network transports)
+    — see :mod:`httpz_spark.sources.transport`."""
     out = _empty_result()
     out["protocol"] = protocol
     # seeded UA (A24) + custom headers merged over it (scanner.py:209-212);
@@ -87,16 +108,16 @@ def _fetch_one(
     headers = {"User-Agent": ua_for(url, attempt, cfg.ua_seed)}
     if custom_headers:
         headers.update(custom_headers)
-    try:
-        resp = transport.fetch(
-            url, protocol, attempt=attempt,
-            follow_redirects=cfg.follow_redirects, max_redirects=cfg.max_redirects,
-            method="POST" if cfg.post_data is not None else "GET",
-            request_headers=headers,
-        )
-    except TransportError as e:
-        out["error_type"] = e.error_type
-        out["error"] = e.message
+    resp, err = yield (url, protocol, {
+        "attempt": attempt,
+        "follow_redirects": cfg.follow_redirects,
+        "max_redirects": cfg.max_redirects,
+        "method": "POST" if cfg.post_data is not None else "GET",
+        "request_headers": headers,
+    })
+    if err is not None:
+        out["error_type"] = err.error_type
+        out["error"] = err.message
         return out
 
     out["url"] = resp.url
@@ -148,24 +169,29 @@ def _fetch_one(
                     title = R.normalize_text(page.title_raw)
                     out["title"] = title[: R.TITLE_MAX_CHARS] if title else None
         if cfg.fetch_favicon and resp.status is not None:
-            out["favicon_hash"] = _favicon(
-                transport, resp.url, page.favicon_href, protocol, cfg
+            out["favicon_hash"] = yield from _favicon(
+                resp.url, page.favicon_href, protocol
             )
         if cfg.discover_links and resp.status == 200:
             links = []
             for href in page.hrefs:
-                # fast paths produce byte-identical urljoin results for the
-                # two shapes that dominate (abs-http and root-relative)
-                if href.startswith(("http://", "https://")):
-                    absu = href
-                elif href.startswith("/") and not href.startswith("//"):
-                    absu = _origin_of(resp.url) + href
-                else:
-                    absu = urllib.parse.urljoin(resp.url, href)
+                absu = resolve_href(resp.url, href)
                 if absu.startswith(("http://", "https://")):
                     links.append(absu)
             out["discovered"] = links
     return out
+
+
+def resolve_href(base_url: str, href: str) -> str:
+    """urljoin with byte-identical fast paths for the two shapes that
+    dominate (abs-http and root-relative).  The '/.' guard routes dot
+    segments to urljoin's normalization ('/a/../b' -> 'https://h/b'):
+    without it frontier dedup would treat equal URLs as distinct."""
+    if href.startswith(("http://", "https://")):
+        return href
+    if href.startswith("/") and not href.startswith("//") and "/." not in href:
+        return _origin_of(base_url) + href
+    return urllib.parse.urljoin(base_url, href)
 
 
 def _origin_of(url: str) -> str:
@@ -180,30 +206,32 @@ def _origin_of(url: str) -> str:
     return f"{scheme}://{netloc}"
 
 
-def _favicon(transport, final_url, favicon_href, protocol, cfg) -> str | None:
+def _favicon(final_url, favicon_href, protocol):
     """Second GET for the favicon — parsers.py:205-254 semantics (the href
-    comes from the combined page parse)."""
+    comes from the combined page parse).  Sans-IO generator."""
     href = favicon_href or "/favicon.ico"
-    if href.startswith("/") and not href.startswith("//"):
+    if href.startswith("/") and not href.startswith("//") and "/." not in href:
         favicon_url = _origin_of(final_url) + href
     else:
         favicon_url = urllib.parse.urljoin(_origin_of(final_url), href)
-    try:
-        resp = transport.fetch(favicon_url, protocol, attempt=0)
-    except TransportError:
+    resp, err = yield (favicon_url, protocol, {"attempt": 0})
+    if err is not None:
         return None
     if resp.status != 200:
         return None
     return R.favicon_hash(resp.body)
 
 
-def _scan_row(
+def scan_row_gen(
     target: str, port, proto_first: str, proto_second: str,
-    transport, cfg: ScanConfig, cert_cache: dict, custom_headers: dict | None,
-) -> dict:
+    cfg: ScanConfig, cert_cache: dict, custom_headers: dict | None,
+):
     """Protocol fallback + retries for one scheduled URL —
     scanner.py:312-379 semantics (CERT/SSL fall back but never retry;
-    TIMEOUT/CONN/HTTP retry with linear backoff, simulated as latency)."""
+    TIMEOUT/CONN/HTTP retry with linear backoff, simulated as latency).
+
+    Sans-IO generator (see :func:`_fetch_one`): the return value is the
+    final result dict; drivers deliver it via StopIteration."""
     last_error = None
     success = None
     total_latency = 0.0
@@ -215,8 +243,8 @@ def _scan_row(
         attempts = 1 + max(0, cfg.retries)
         result = None
         for attempt in range(attempts):
-            result = _fetch_one(
-                transport, url, protocol, cfg, attempt, cert_cache, custom_headers
+            result = yield from _fetch_one(
+                url, protocol, cfg, attempt, cert_cache, custom_headers
             )
             total_attempts += 1
             total_latency += result["latency_ms"]
@@ -336,30 +364,45 @@ def make_fetch_stage(
                     if fixed and "image_id" in passthrough_cols:
                         pdf = pdf.assign(image_id=iids)
 
-            results = []
-            append = results.append
-            for i in range(n):
-                if has_payload and iids[i] is not None:
-                    provider.rec = {
-                        "image_id": iids[i],
-                        "bytes": byts[i] if byts is not None else None,
-                        "w": ws[i], "h": hs[i], "fmt": fmts[i],
-                        "caption": caps[i],
-                        "phash": phs[i] if phs is not None else None,
-                    }
-                elif provider is not None:
-                    provider.rec = None
-                try:
-                    result = _scan_row(
-                        targets[i], ports[i], p1s[i], p2s[i],
-                        transport, cfg, cert_cache, custom_headers,
-                    )
-                except Exception as e:  # containment — scanner.py:409-414
-                    result = _empty_result()
-                    result["error_type"] = "PROCESS"
-                    result["error"] = f"{e.__class__.__name__}: {e}"
-                    result["protocol"] = "unknown"
-                append(result)
+            if hasattr(transport, "fetch_many"):
+                # batched-async seam: the transport drives ALL row state
+                # machines concurrently (asyncio semaphore inside the task —
+                # scanner.py:430-440's concurrent_limit analogue).  Such
+                # transports talk to a real network and ignore the payload
+                # provider; per-row containment comes back as exception
+                # objects in the ordered result list.
+                gens = [
+                    scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
+                                 cfg, cert_cache, custom_headers)
+                    for i in range(n)
+                ]
+                results = [
+                    _process_row(r) if isinstance(r, BaseException) else r
+                    for r in transport.fetch_many(gens)
+                ]
+            else:
+                results = []
+                append = results.append
+                for i in range(n):
+                    if has_payload and iids[i] is not None:
+                        provider.rec = {
+                            "image_id": iids[i],
+                            "bytes": byts[i] if byts is not None else None,
+                            "w": ws[i], "h": hs[i], "fmt": fmts[i],
+                            "caption": caps[i],
+                            "phash": phs[i] if phs is not None else None,
+                        }
+                    elif provider is not None:
+                        provider.rec = None
+                    try:
+                        result = drive_scan_sync(
+                            scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
+                                         cfg, cert_cache, custom_headers),
+                            transport,
+                        )
+                    except Exception as e:  # containment — scanner.py:409-414
+                        result = _process_row(e)
+                    append(result)
 
             # column-wise assembly: passthrough columns copy as whole arrays
             # (row order is preserved 1:1), result columns gather per key

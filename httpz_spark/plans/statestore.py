@@ -127,7 +127,10 @@ class StateStore:
             return None
         manifest = self._read_manifest(name, v)
         paths = [os.path.join(self.root, name, d) for d in manifest["deltas"]]
-        df = self.spark.read.parquet(*paths)
+        # mergeSchema: deltas written under different configs (e.g. a resume
+        # with include_payload toggled) must union their columns, not silently
+        # adopt one footer's schema
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         key = manifest.get("key")
         if key and len(paths) > 1:
             # newest delta wins; _seq alone is a total order because a key

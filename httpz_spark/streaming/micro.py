@@ -103,42 +103,137 @@ def crawl_rate_metrics(
     )
 
 
-def streaming_unseen(
+def streaming_unseen_flagged(
     stream_df: DataFrame,
     partitions: int = 32,
     url_hash_col: str = "url_hash",
     url_col: str = "raw",
+    capacity_per_group: int = 1_000_000,
+    bits_per_key: int = 10,
 ) -> DataFrame:
-    """Exactly-once streaming URL-seen dedup — ``applyInPandasWithState``
-    keyed on ``pmod(url_hash, partitions)``; each group's state is its seen
-    hash set (a pickled python set in a binary state column, the streaming
-    analogue of the per-partition BloomIndex).  Emits only first-ever
-    occurrences ACROSS micro-batches; state persists in the streaming
-    checkpoint, so a restarted query keeps suppressing (tested)."""
+    """Stateful bloom pre-filter for streaming URL-seen dedup —
+    ``applyInPandasWithState`` keyed on ``pmod(url_hash, partitions)``.
+
+    State per group is a FIXED-SIZE bloom bit array (``m/8`` bytes from
+    ``capacity_per_group × bits_per_key``), OR-updated per micro-batch —
+    O(bits), never O(keys): at a 10^10-URL stream the state neither grows
+    nor re-pickles a growing set (the round-2 design's scale-killer).
+    Reuses the batch path's bloom kernels
+    (:mod:`httpz_spark.operators.frontier_dedup`).
+
+    Emitted rows carry ``maybe_seen``: False = bloom miss = **provably
+    first-ever** occurrence (a bloom never false-negatives); True = needs
+    the exact re-check against the durable seen table
+    (:func:`start_streaming_unseen` wires that in ``foreachBatch``).
+    Exact in-batch duplicates are dropped here (bounded batch-local set).
+    An overfull bloom degrades to more maybe-rows (more exact-check work),
+    NEVER to wrong output — tested with a deliberately undersized bloom.
+    """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def dedup(key, pdfs, state):
-        import pickle
+    from httpz_spark.operators.frontier_dedup import (
+        _bloom_geometry,
+        bloom_maybe,
+        bloom_or_keys,
+    )
 
-        seen = pickle.loads(state.get[0]) if state.exists else set()
-        rows = []
+    m, k = _bloom_geometry(capacity_per_group, bits_per_key)
+    nbytes = m // 8
+
+    def dedup(key, pdfs, state):
+        bits = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists else np.zeros(nbytes, dtype=np.uint8)
+        )
+        out_h: list = []
+        out_u: list = []
+        out_m: list = []
+        batch_keys: set = set()  # batch-scoped only — discarded after
         for pdf in pdfs:
-            for uh, url in zip(pdf[url_hash_col].tolist(), pdf[url_col].tolist()):
-                if uh not in seen:
-                    seen.add(uh)
-                    rows.append((uh, url))
-        state.update((pickle.dumps(seen),))
-        yield pd.DataFrame(rows, columns=[url_hash_col, url_col])
+            keys = pdf[url_hash_col].to_numpy(dtype=np.int64)
+            urls = pdf[url_col].tolist()
+            maybe = bloom_maybe(bits, m, k, keys)
+            for i in range(len(keys)):
+                h = int(keys[i])
+                if h in batch_keys:
+                    continue  # exact in-batch dup
+                batch_keys.add(h)
+                out_h.append(h)
+                out_u.append(urls[i])
+                out_m.append(bool(maybe[i]))
+            bloom_or_keys(bits, m, k, keys)
+        state.update((bits.tobytes(),))  # fixed nbytes every batch
+        yield pd.DataFrame(
+            {url_hash_col: pd.Series(out_h, dtype="int64"),
+             url_col: out_u,
+             "maybe_seen": pd.Series(out_m, dtype="bool")}
+        )
 
     return (
         stream_df.withColumn("_pid", F.pmod(F.col(url_hash_col), F.lit(partitions)))
         .groupBy("_pid")
         .applyInPandasWithState(
             dedup,
-            outputStructType=f"{url_hash_col} long, {url_col} string",
-            stateStructType="seen binary",
+            outputStructType=f"{url_hash_col} long, {url_col} string, maybe_seen boolean",
+            stateStructType="bits binary",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def start_streaming_unseen(
+    stream_df: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    partitions: int = 32,
+    url_hash_col: str = "url_hash",
+    url_col: str = "raw",
+    capacity_per_group: int = 1_000_000,
+    bits_per_key: int = 10,
+    available_now: bool = True,
+):
+    """Exact streaming URL-seen dedup end-to-end: bloom-flagged stateful
+    stage + ``foreachBatch`` exact resolution.
+
+    Per micro-batch: bloom-miss rows pass straight through; maybe-seen rows
+    are anti-joined against the durable seen table (``seen_dir`` parquet —
+    production: the Iceberg seen table); accepted keys append to the seen
+    table and accepted rows land in ``out_dir/batch_id=N`` (overwrite per
+    batch id = idempotent redelivery on restart).  Output therefore equals
+    first-ever occurrences EXACTLY, for any bloom size."""
+    import os
+
+    flagged = streaming_unseen_flagged(
+        stream_df, partitions, url_hash_col, url_col,
+        capacity_per_group, bits_per_key,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        definite = batch_df.filter(~F.col("maybe_seen"))
+        maybe = batch_df.filter(F.col("maybe_seen"))
+        try:
+            seen_keys = spark.read.parquet(seen_dir).select(url_hash_col)
+            rechecked = maybe.join(seen_keys, url_hash_col, "left_anti")
+        except Exception:  # first batch: no seen table yet
+            rechecked = maybe
+        accepted = (
+            definite.unionByName(rechecked).drop("maybe_seen").localCheckpoint()
+        )
+        accepted.select(url_hash_col).write.mode("append").parquet(seen_dir)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        flagged.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -18,10 +18,10 @@ cross-checks the final fields against the reference behavioral model.
 import pytest
 
 from httpz_spark.config import ScanConfig
-from httpz_spark.operators.fetch import _scan_row
+from httpz_spark.operators.fetch import scan_row_gen
 from httpz_spark.parity import refscan
 from httpz_spark.sources import fabric as FB
-from httpz_spark.sources.transport import classify_exception
+from httpz_spark.sources.transport import classify_exception, drive_scan_sync
 
 WORLD = FB.FabricConfig(n_images=4096, n_hosts=2000).with_certs()
 
@@ -41,7 +41,9 @@ def find_url_of_class(predicate):
 def scan_one(host, path, **cfg_over):
     cfg = ScanConfig.all_on(retries=1, **cfg_over)
     t = FB.FabricTransport(WORLD)
-    result = _scan_row(host, None, "https", "http", t, cfg, {}, None)
+    result = drive_scan_sync(
+        scan_row_gen(host, None, "https", "http", cfg, {}, None), t
+    )
     golden = refscan.check_domain(t, host, cfg, dns_map={}, cname_targets={})
     return result, golden
 

@@ -66,6 +66,20 @@ def test_links():
     assert page.hrefs == ["/x", "http://h.test/y"]
 
 
+def test_resolve_href_matches_urljoin():
+    import urllib.parse
+
+    from httpz_spark.operators.fetch import resolve_href
+
+    base = "https://h.test/a/page"
+    for href in [
+        "/x", "/x/y?q=1#f", "/a/../b", "/a/./b", "/..", "/.", "/a.b/c",
+        "/a/b/../../c", "rel", "../up", "//other.test/p", "?q=2", "#frag",
+        "http://abs.test/z", "https://abs.test/z",
+    ]:
+        assert resolve_href(base, href) == urllib.parse.urljoin(base, href), href
+
+
 # ---------------------------------------------------------------------------
 # fast-path scanner == HTMLParser equivalence (the dispatcher may route to a
 # regex scanner; its output must be indistinguishable from the exact parser)
@@ -131,6 +145,15 @@ ADVERSARIAL = [
     "<div\ndata-x=\"1\">multiline tag</div>",
     "<a href=\"/x\" href=\"/y\">dup attr</a>",
     "<EM>UPPER TAGS</EM><A HREF=\"/UP\">U</A>",
+    # CDATA close-delimiter edges (round-2 review): HTMLParser's interesting
+    # regex is r'</\s*tag\s*>' — '</scripts>' does NOT close, '</ script>'
+    # and '</script\t>' DO
+    '<script>x</scripts><a href="/y">',
+    '<script>x</ script><a href="/y">',
+    '<script>x</script\t><a href="/y">',
+    '<script>x</script foo></script><a href="/z">',
+    '<style>a{}</ STYLE >tail<a href="/y">y</a>',
+    '<script>a</scriptz></script z></script><a href="/w">w</a>',
 ]
 
 

@@ -113,39 +113,44 @@ def test_crawl_rate_metrics_watermarked(spark, tmp_path):
 
 
 def test_streaming_unseen_dedup_across_batches(spark, tmp_path):
-    """applyInPandasWithState seen-set: duplicates are suppressed WITHIN a
-    batch and ACROSS micro-batches/restarts (state survives in the
-    checkpoint)."""
+    """Bounded-state streaming dedup: duplicates are suppressed WITHIN a
+    batch and ACROSS micro-batches/restarts (bloom state survives in the
+    checkpoint; exact re-check against the seen table keeps it exact)."""
     import json
 
-    from httpz_spark.streaming.micro import streaming_unseen
+    from httpz_spark.streaming.micro import start_streaming_unseen
 
     src = tmp_path / "urls"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt2")
     sink = str(tmp_path / "sink")
+    seen_dir = str(tmp_path / "seen")
 
-    def run_available(qname):
-        # parquet sink: supports restart-from-checkpoint (memory sink can't)
+    last_progress = {}
+
+    def run_available():
         stream = (
             spark.readStream.schema("url_hash long, raw string").json(str(src))
         )
-        out = streaming_unseen(stream, partitions=8)
-        q = (
-            out.writeStream.format("parquet").option("path", sink)
-            .outputMode("append").trigger(availableNow=True)
-            .option("checkpointLocation", ckpt).start()
+        q = start_streaming_unseen(
+            stream, sink, seen_dir, ckpt, partitions=8,
         )
         q.awaitTermination()
-        return [(r["url_hash"], r["raw"]) for r in
-                spark.read.parquet(sink).collect()]
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if ops:
+                last_progress.update(ops[0])
+        return sorted(
+            (r["url_hash"], r["raw"])
+            for r in spark.read.parquet(sink).drop("batch_id").collect()
+        )
 
     (src / "a.json").write_text("\n".join(json.dumps(r) for r in [
         {"url_hash": 1, "raw": "https://a.test/1"},
         {"url_hash": 2, "raw": "https://a.test/2"},
         {"url_hash": 1, "raw": "https://a.test/1"},   # in-batch dup
     ]))
-    got1 = sorted(run_available("unseen1"))
+    got1 = run_available()
     assert got1 == [(1, "https://a.test/1"), (2, "https://a.test/2")]
 
     # second batch, same checkpoint: 2 is suppressed by persisted state —
@@ -154,5 +159,43 @@ def test_streaming_unseen_dedup_across_batches(spark, tmp_path):
         {"url_hash": 2, "raw": "https://a.test/2"},
         {"url_hash": 3, "raw": "https://a.test/3"},
     ]))
-    got2 = sorted(run_available("unseen2"))
+    got2 = run_available()
     assert got2 == sorted(got1 + [(3, "https://a.test/3")])
+    # state rows = GROUPS (<= partitions), never keys — the bounded-state
+    # invariant the round-2 design violated
+    assert 0 < last_progress["numRowsTotal"] <= 8
+
+
+def test_streaming_unseen_exact_with_overfull_bloom(spark, tmp_path):
+    """An undersized bloom (capacity 16 for 600 keys -> FP-saturated) must
+    degrade to more exact-check work, NEVER to wrong output."""
+    import json
+
+    from httpz_spark.streaming.micro import start_streaming_unseen
+
+    src = tmp_path / "urls"
+    src.mkdir()
+
+    def run():
+        stream = (
+            spark.readStream.schema("url_hash long, raw string").json(str(src))
+        )
+        q = start_streaming_unseen(
+            stream, str(tmp_path / "sink"), str(tmp_path / "seen"),
+            str(tmp_path / "ckpt"), partitions=4,
+            capacity_per_group=16, bits_per_key=4,
+        )
+        q.awaitTermination()
+        return sorted(
+            r["url_hash"]
+            for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+        )
+
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"url_hash": i, "raw": f"u{i}"}) for i in range(300)
+    ))
+    assert run() == list(range(300))
+    (src / "b.json").write_text("\n".join(
+        json.dumps({"url_hash": i, "raw": f"u{i}"}) for i in range(150, 450)
+    ))
+    assert run() == list(range(450))  # 150-299 suppressed, 300-449 new
