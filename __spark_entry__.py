@@ -342,6 +342,21 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk_256(spark, sf_dir):
+    """IVF at realistic centroid count — routes through the numpy
+    (Arrow-batched matmul) assignment path instead of plan literals
+    (operators/similarity.py: n_centroids > IVF_LITERAL_MAX_CENTROIDS)."""
+    from httpz_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(e, queries, k=3, n_centroids=256, nprobe=8).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def q_crawl_single_wave(spark, sf_dir):
     from httpz_spark.config import ScanConfig
     from httpz_spark.plans.scan import scan_plan
@@ -462,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _shipped(q_embedding_near_dups),
         "lsh_ann_topk": _shipped(q_lsh_ann_topk),
         "ivf_ann_topk": _shipped(q_ivf_ann_topk),
+        "ivf_ann_topk_256": _shipped(q_ivf_ann_topk_256),
         "winnow_fingerprints": _shipped(q_winnow_fingerprints),
         "crawl_single_wave": _shipped(q_crawl_single_wave),
         "frontier_crawl": _shipped(q_frontier_crawl),
@@ -493,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
             "lsh_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
         "ivf_ann_topk": _golden_sql(
             "ivf_ann_topk", "query_id, neighbor_id, cos_sim, rank"),
+        "ivf_ann_topk_256": _golden_sql(
+            "ivf_ann_topk_256", "query_id, neighbor_id, cos_sim, rank"),
         "winnow_fingerprints": _golden_sql("winnow_fingerprints", "doc_id, fp"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",

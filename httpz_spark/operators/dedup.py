@@ -74,12 +74,13 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
 
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 64, shingle_k: int = 3,
+    num_hashes: int = 64, shingle_k: int = 3, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — min over permuted shingle hashes, computed as
     NUM_HASHES native min-aggregations of ``(a*h + b) % P`` where
-    h = xxhash64(shingle).  One shuffle (groupBy id)."""
-    sh = word_shingles(docs, text_col, id_col, shingle_k)
+    h = xxhash64(shingle).  One shuffle (groupBy id).  ``shingles``: an
+    already-materialized :func:`word_shingles` frame to reuse."""
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, shingle_k)
     h = F.pmod(F.xxhash64("shingle"), F.lit(_P))
     aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh{i}")
@@ -98,7 +99,12 @@ def minhash_lsh_pairs(
     Candidate generation never does n² work: pairs come from an equi
     self-join on (band, band_hash)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    # ONE normalize+split+explode pass over the corpus, shared by signature
+    # building AND the exact-Jaccard verify (sizes + common counts) — the
+    # round-2 plan recomputed it three times (round-2 review finding)
+    sh = word_shingles(docs, text_col, id_col, shingle_k).persist()
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
+                             shingles=sh)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "id",
@@ -124,7 +130,8 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k)
+    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k,
+                              shingles=sh)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 
@@ -143,7 +150,10 @@ def ngram_jaccard_pairs(
     share at least one shingle with df <= max_df (standard LSH-style
     candidate pruning; df-capped candidates + exact verify).  Set
     ``max_df=None`` for the exhaustive all-co-shingled-pairs behavior."""
-    sh = word_shingles(docs, text_col, id_col, shingle_k)
+    # ONE shingle pass, persisted: candidate gen (+ df cap), verify sizes,
+    # and verify common-counts all read the same materialization (the
+    # round-2 plan ran normalize+split+explode four times over the corpus)
+    sh = word_shingles(docs, text_col, id_col, shingle_k).persist()
     if max_df is not None:
         rare = (
             sh.groupBy("shingle").agg(F.count("*").alias("_df"))
@@ -159,13 +169,18 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .distinct()
     )
-    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k)
+    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k,
+                              shingles=sh)
     return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
-def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """Exact jaccard for given candidate (a,b) pairs via shingle joins."""
-    sh = word_shingles(docs, text_col, id_col, k)
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
+                   id_col: str, k: int, shingles: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for given candidate (a,b) pairs via shingle joins.
+    ``shingles``: an already-materialized :func:`word_shingles` frame —
+    callers that derived candidates from shingles pass it so sizes and
+    common-counts reuse the cached explode instead of recomputing it."""
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     common = (
         pairs.select("a", "b")

@@ -17,6 +17,7 @@ equi-join on the signature.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -161,14 +162,52 @@ def _cos_to_centroids(vec_col: str, centroids: list):
     ])
 
 
+# above this many centroids the literal-expression plan stops being a win:
+# n_centroids x dim literals bloat the plan (analysis/codegen cost grows
+# linearly) and assignment is O(n_centroids) scalar expressions per row.
+# The numpy path is one Arrow-batched matmul per batch instead.
+IVF_LITERAL_MAX_CENTROIDS = 64
+
+
+def _unit_rows(mat):
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
 def ivf_assign(df: DataFrame, centroids: list, vec_col: str = "embedding") -> DataFrame:
     """Adds ``cell int`` — nearest centroid by cosine (first index wins
-    ties).  Pure native expressions: the centroid list rides the plan as
-    literals, so assignment is one codegen'd projection, no shuffle."""
-    coss = _cos_to_centroids(vec_col, centroids)
-    return df.withColumn(
-        "cell", (F.array_position(coss, F.array_max(coss)) - 1).cast("int")
-    )
+    ties).
+
+    Two physical strategies behind one logical op:
+
+    * ``n <= IVF_LITERAL_MAX_CENTROIDS``: pure native expressions — the
+      centroid list rides the plan as literals, one codegen'd projection,
+      no Python.
+    * larger: an Arrow-batched pandas UDF doing ONE numpy matmul per batch
+      against the row-normalized centroid matrix (argmax of v·ĉ ==
+      argmax of cosine, since |v| > 0 is constant per row; np.argmax takes
+      the first max — the same tie rule as the literal path).  The matrix
+      rides the closure (a few MB even at 4096x1024), so realistic
+      centroid counts neither explode the plan nor shuffle anything."""
+    if len(centroids) <= IVF_LITERAL_MAX_CENTROIDS:
+        coss = _cos_to_centroids(vec_col, centroids)
+        return df.withColumn(
+            "cell", (F.array_position(coss, F.array_max(coss)) - 1).cast("int")
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(V @ Cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
 
 
 def ivf_ann_topk(
@@ -195,23 +234,42 @@ def ivf_ann_topk(
     c = ivf_assign(corpus, centroids, vec_col)
 
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    coss = _cos_to_centroids("_qv", centroids)
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    # nprobe nearest cells: struct(-cos, cell) sorts naturally (lexicographic)
-    q = q.withColumn("_coss", coss)
-    ranked_cells = F.slice(
-        F.array_sort(F.transform(
-            idx,
-            lambda i: F.struct(
-                (-F.element_at(F.col("_coss"), i + 1)).alias("negcos"),
-                i.alias("cell"),
-            ),
-        )),
-        1, nprobe,
-    )
-    q = q.withColumn(
-        "cell", F.explode(F.transform(ranked_cells, lambda s: s.getField("cell").cast("int")))
-    ).drop("_coss")
+    if len(centroids) <= IVF_LITERAL_MAX_CENTROIDS:
+        coss = _cos_to_centroids("_qv", centroids)
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        # nprobe nearest cells: struct(-cos, cell) sorts naturally (lexicographic)
+        q = q.withColumn("_coss", coss)
+        ranked_cells = F.slice(
+            F.array_sort(F.transform(
+                idx,
+                lambda i: F.struct(
+                    (-F.element_at(F.col("_coss"), i + 1)).alias("negcos"),
+                    i.alias("cell"),
+                ),
+            )),
+            1, nprobe,
+        )
+        q = q.withColumn(
+            "cell",
+            F.explode(F.transform(ranked_cells, lambda s: s.getField("cell").cast("int"))),
+        ).drop("_coss")
+    else:
+        # numpy probe ranking: stable argsort of -v·ĉ == (-cos, cell)
+        # lexicographic order (same tie rule as the literal path)
+        from pyspark.sql.functions import pandas_udf
+
+        Cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+        np_ = nprobe
+
+        @pandas_udf("array<int>")
+        def probe_cells(s: pd.Series) -> pd.Series:
+            if len(s) == 0:
+                return pd.Series([], dtype="object")
+            V = np.asarray(s.tolist(), dtype=np.float64)
+            order = np.argsort(-(V @ Cn.T), axis=1, kind="stable")[:, :np_]
+            return pd.Series(list(order.astype(np.int32)))
+
+        q = q.withColumn("cell", F.explode(probe_cells(F.col("_qv"))))
 
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",

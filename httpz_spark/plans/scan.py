@@ -87,9 +87,11 @@ def scan_plan(
     fabric_cfg: FabricConfig,
     include_payload: bool = True,
     partitions: int = 32,
+    transport_factory=None,
 ) -> DataFrame:
     """seeds(line_num, raw) -> result DataFrame (SURVEY §1.2 schema +
-    engine columns)."""
+    engine columns).  ``transport_factory`` swaps the deterministic fabric
+    for a real-network transport (scripts/httpz_cli.py --transport)."""
     df = seeds.filter(T.nonblank(F.col("raw")))
     if cfg.shard is not None:
         idx, total = cfg.shard
@@ -147,7 +149,8 @@ def scan_plan(
     passthrough = [("line_num", "long"), ("image_id", "string")]
     pass_names = [n for n, _t in passthrough]
     pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
-    stage = make_fetch_stage(cfg, fabric_cfg, pass_names)
+    stage = make_fetch_stage(cfg, fabric_cfg, pass_names,
+                             transport_factory=transport_factory)
     fetch_in = df.select(
         *pass_names, *[n for n, _t in META],
         "scan_target", "port", "proto_first", "proto_second",

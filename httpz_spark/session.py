@@ -28,17 +28,37 @@ _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def package_zip(dest_dir: str | None = None) -> str:
-    """Zip the httpz_spark package for --py-files / addPyFile shipping."""
+    """Zip the httpz_spark package for --py-files / addPyFile shipping.
+
+    The filename carries a digest of the package source: two different
+    checkouts (or a checkout that changed between sessions) ship distinct
+    zip names instead of colliding on one path — Spark executors hard-fail
+    when a previously-fetched file's contents change under the same name
+    (`Utils.copyFile: "exists and does not match contents"`)."""
+    import hashlib
+
     dest_dir = dest_dir or tempfile.gettempdir()
-    zpath = os.path.join(dest_dir, "httpz_spark_pkg.zip")
     root = os.path.dirname(_PKG_DIR)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
-            for fn in filenames:
-                if not fn.endswith(".py"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                zf.write(full, os.path.relpath(full, root))
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            entries.append((full, os.path.relpath(full, root)))
+    entries.sort(key=lambda e: e[1])
+    h = hashlib.sha256()
+    for full, rel in entries:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = os.path.join(dest_dir, f"httpz_spark_pkg_{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, rel in entries:
+                zf.write(full, rel)
+        os.replace(tmp, zpath)
     return zpath
 
 

@@ -344,7 +344,7 @@ def golden_winnow_fingerprints(k=8, window=4):
     }))
 
 
-def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4):
+def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4, name="ivf_ann_topk"):
     emb = load_embeddings()
     vecs = dict(emb)
     # deterministic coarse quantizer: embeddings of the n smallest ids
@@ -353,6 +353,8 @@ def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4):
     def cell_of(v):
         coss = [seq_cos(v, c) for c in cents]
         return coss.index(max(coss))  # first index of max == array_position
+        # (also == np.argmax first-max on the numpy path: cosine order ==
+        # v·ĉ order because |v| is a positive per-row constant)
 
     cells = {vid: cell_of(v) for vid, v in emb}
     rows = []
@@ -367,12 +369,19 @@ def golden_ivf_ann_topk(k=3, n_centroids=16, nprobe=4):
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rank, (c, vid) in enumerate(scored[:k], start=1):
             rows.append((qid, vid, spark_round(c), rank))
-    write_golden("ivf_ann_topk", pa.table({
+    write_golden(name, pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
         "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
         "rank": pa.array([r[3] for r in rows], pa.int32()),
     }))
+
+
+def golden_ivf_ann_topk_256():
+    # exercises the engine's numpy (Arrow-batched matmul) centroid path —
+    # n_centroids > IVF_LITERAL_MAX_CENTROIDS; recompute here stays pure
+    # python (independent of both the plan literals and numpy)
+    golden_ivf_ann_topk(k=3, n_centroids=256, nprobe=8, name="ivf_ann_topk_256")
 
 
 # ---------------------------------------------------------------------------
@@ -703,6 +712,7 @@ GOLDENS = {
     "embedding_near_dups": golden_embedding_near_dups,
     "lsh_ann_topk": golden_lsh_ann_topk,
     "ivf_ann_topk": golden_ivf_ann_topk,
+    "ivf_ann_topk_256": golden_ivf_ann_topk_256,
     "winnow_fingerprints": golden_winnow_fingerprints,
     "payload_validation": golden_payload_validation,
     "crawl_single_wave": golden_crawl_single_wave,

@@ -270,6 +270,41 @@ def test_ivf_ann_topk(spark, emb):
             assert abs(r["cos_sim"] - want) < 1e-9
 
 
+def test_ivf_numpy_path_equals_literal_path(spark, emb, monkeypatch):
+    """Above IVF_LITERAL_MAX_CENTROIDS the centroid assignment/probing
+    switches from plan literals to an Arrow-batched numpy matmul; both
+    physical strategies must produce the SAME logical result (same tie
+    rules: first-max assignment, (-cos, cell) probe order)."""
+    import httpz_spark.operators.similarity as S2
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = S2._centroid_arrays(emb, "vec_id", "embedding", 80)
+    assert len(centroids) == 80  # > threshold -> numpy path
+    numpy_out = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in SIM.ivf_ann_topk(emb, queries, k=3, nprobe=4,
+                                  centroids=centroids).collect()
+    )
+    numpy_cells = {
+        r["vec_id"]: r["cell"]
+        for r in S2.ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    monkeypatch.setattr(S2, "IVF_LITERAL_MAX_CENTROIDS", 10_000)
+    literal_out = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in SIM.ivf_ann_topk(emb, queries, k=3, nprobe=4,
+                                  centroids=centroids).collect()
+    )
+    literal_cells = {
+        r["vec_id"]: r["cell"]
+        for r in S2.ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    assert numpy_cells == literal_cells
+    assert numpy_out == literal_out
+
+
 def test_lsh_multi_probe_recall_dominates(spark, emb):
     queries = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
