@@ -152,6 +152,56 @@ def _centroid_arrays(corpus, id_col, vec_col, n_centroids):
     return [list(r[vec_col]) for r in rows]
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_per_centroid: int = 32,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Deterministic spherical k-means coarse quantizer (the FAISS IVF
+    training shape: train on a bounded sample, not the corpus).
+
+    Scale story: the TRAINING sample is ``n_centroids * sample_per_centroid``
+    rows pulled to the driver — independent of corpus size (FAISS defaults
+    to 39-256 points/centroid); iteration then runs as driver-side numpy,
+    so no per-iteration Spark jobs.  Determinism: the sample is the
+    smallest ids by ``TABLESAMPLE``-free deterministic rank (hash-ordered,
+    not orderBy-on-floats), init is seeded, and all reductions happen in a
+    single numpy process with fixed operand order — same inputs, same
+    centroids, every run (the oracle requirement that rules out
+    distributed k-means with its partition-order float reductions).
+
+    Empty-cell rule: a centroid that captures no points keeps its previous
+    position (standard k-means practice; deterministic)."""
+    n_sample = n_centroids * sample_per_centroid
+    rows = (
+        corpus.select(id_col, vec_col)
+        # deterministic pseudo-random sample: order by a seeded hash of the
+        # id (uniform over the corpus, reproducible, no float ordering)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    X = _unit_rows(np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        Cn = _unit_rows(C)
+        assign = np.argmax(X @ Cn.T, axis=1)
+        newC = C.copy()
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                newC[j] = pts.mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [list(map(float, c)) for c in _unit_rows(C)]
+
+
 def _cos_to_centroids(vec_col: str, centroids: list):
     return F.array(*[
         cosine_expr(
@@ -220,17 +270,26 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list | None = None,
+    train: bool = False,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``n_centroids`` cells
     (one native projection), probe each query's ``nprobe`` nearest cells,
     exact cosine re-rank inside the probed cells.
+
+    ``train=True`` fits the quantizer with deterministic driver-side
+    spherical k-means on a bounded sample (:func:`train_centroids`) —
+    better cell balance than the fixed first-N-ids quantizer, still
+    bit-reproducible.
 
     Scale shape: the corpus scan + cell assignment is embarrassingly
     parallel; candidate generation is an equi-join on ``cell`` (the probe
     side is queries x nprobe — broadcast); re-ranking touches only
     ~nprobe/n_centroids of the corpus per query instead of all of it."""
     if centroids is None:
-        centroids = _centroid_arrays(corpus, id_col, vec_col, n_centroids)
+        if train:
+            centroids = train_centroids(corpus, n_centroids, id_col, vec_col)
+        else:
+            centroids = _centroid_arrays(corpus, id_col, vec_col, n_centroids)
     c = ivf_assign(corpus, centroids, vec_col)
 
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))

@@ -261,12 +261,11 @@ class CrawlEngine:
         )
         self.store.write("frontier", next_frontier)
 
-        errs = {
-            r["error_type"]: r["n"]
-            for r in out.groupBy("error_type").agg(F.count("*").alias("n")).collect()
-            if r["error_type"] is not None
-        }
-        n_fetched = out.count()
+        # one aggregation job yields both the error histogram and n_fetched
+        # (sum over all groups incl. the None/ok group) — not two passes
+        err_rows = out.groupBy("error_type").agg(F.count("*").alias("n")).collect()
+        errs = {r["error_type"]: r["n"] for r in err_rows if r["error_type"] is not None}
+        n_fetched = sum(r["n"] for r in err_rows)
         n_deferred = deferred.count()
         self._commit_lineage(wave_id, n_ready, n_fetched, n_deferred, n_fetched, errs, t0)
         # lineage row committed = wave durable; staging served its purpose

@@ -135,20 +135,16 @@ def scan_plan(
     # dims, ~100 B/row -> AQE broadcasts); image bytes join post-fetch
     meta_names = [n for n, _t in META]
     df = df.join(images.select("image_id", *meta_names), "image_id", "left")
-    # materialize the pre-fetch frame once: both the fetch input and the
-    # post-fetch rejoin consume it (otherwise the parse/DNS/UDF chain runs
-    # twice).  localCheckpoint stores executor-local and truncates lineage.
-    df = df.localCheckpoint(eager=False)
 
-    # The python fetch stage sees the MINIMUM column set: a unique key
-    # (line_num — raw url_hash can collide on duplicate seed lines), the
-    # scan coordinates, and the light payload meta the fabric consumes.
-    # Every other column (domain, url_hash, cname/ips arrays) rejoins
-    # JVM-side afterwards — round-tripping wide/array columns through
-    # Arrow->pandas->Arrow measured 3x slower at high core counts.
-    passthrough = [("line_num", "long"), ("image_id", "string")]
-    pass_names = [n for n, _t in passthrough]
-    pass_schema = ", ".join(f"{n} {t}" for n, t in passthrough)
+    # the slim pre-fetch columns (keys, domain, cname/ips arrays) ride the
+    # python stage as Arrow passthrough — same design as the frontier path
+    # (plans/frontier.py): whole-array copies in the batch loop measured
+    # cheaper than the former localCheckpoint + JVM rejoin, which
+    # materialized the pre-fetch frame AND shuffled every fetch-output row
+    # a second time.  At 100 TB the post-fetch shuffle of body-bearing
+    # rows is the one to avoid; only the payload BYTES join post-fetch.
+    pass_names = [n for n, _t in PASSTHROUGH]
+    pass_schema = ", ".join(f"{n} {t}" for n, t in PASSTHROUGH)
     stage = make_fetch_stage(cfg, fabric_cfg, pass_names,
                              transport_factory=transport_factory)
     fetch_in = df.select(
@@ -161,16 +157,15 @@ def scan_plan(
     # local[N] runs 2N python processes concurrently
     fetch_in = fetch_in.repartition(partitions, F.pmod(F.col("line_num"), F.lit(partitions)))
     out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
-    # rejoin the pre-fetch columns (JVM equi-join on the unique key)
-    side = df.select(
-        "line_num", "domain", "url_hash", "cname_chain", "ips",
-        *( [n for n, _t in META] if include_payload else [] ),
-    )
-    out = out.join(side, "line_num")
     if include_payload:
-        # heavy columns attach to fetched rows only (post-politeness/dedup)
+        # heavy columns attach to fetched rows only (post-politeness/dedup);
+        # META re-attaches here too — the fetch stage consumes but does not
+        # emit it (the values are identical: same images table, same key)
         out = out.join(
-            images.select("image_id", *[n for n, _t in PAYLOAD]), "image_id", "left"
+            images.select(
+                "image_id", *meta_names, *[n for n, _t in PAYLOAD]
+            ),
+            "image_id", "left",
         )
 
     if cfg.match_codes is not None:

@@ -305,6 +305,43 @@ def test_ivf_numpy_path_equals_literal_path(spark, emb, monkeypatch):
     assert numpy_out == literal_out
 
 
+def test_trained_quantizer_deterministic_and_better(spark, emb):
+    """train_centroids: (a) bit-identical across runs (driver-side numpy,
+    fixed operand order); (b) lower mean quantization error (1 - cos to
+    nearest centroid) than the fixed first-N-ids quantizer — the point of
+    training; (c) end-to-end ivf_ann_topk(train=True) yields k ranked
+    neighbors per query."""
+    c1 = SIM.train_centroids(emb, 8)
+    c2 = SIM.train_centroids(emb, 8)
+    assert c1 == c2  # determinism, bit-for-bit
+
+    X = np.asarray(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def mean_err(cents):
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float(np.mean(1.0 - np.max(Xn @ Cn.T, axis=1)))
+
+    fixed = SIM._centroid_arrays(emb, "vec_id", "embedding", 8)
+    assert mean_err(c1) < mean_err(fixed)
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_ann_topk(
+        emb, queries, k=3, n_centroids=8, nprobe=3, train=True
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
 def test_lsh_multi_probe_recall_dominates(spark, emb):
     queries = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
