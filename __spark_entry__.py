@@ -440,6 +440,24 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling over the SPKV container (operators/multimodal
+    frame_sample + codecs/video): every 2nd frame of 24 fabric videos,
+    frames identified by xxhash64 of their encoded bytes."""
+    from httpz_spark.operators.multimodal import frame_sample
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=8, n_hosts=4)
+    frames = frame_sample(
+        S.videos_df(spark, world, n_videos=24, partitions=2), every_n=2
+    )
+    return frames.select(
+        "media_id", "fps", "n_frames", "frame_idx",
+        F.xxhash64("frame").alias("frame_xxh"),
+    )
+
+
 def _shipped(fn):
     def wrapper(spark, sf_dir):
         _ensure_shipped(spark)
@@ -482,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_single_wave": _shipped(q_crawl_single_wave),
         "frontier_crawl": _shipped(q_frontier_crawl),
         "multimodal_decode": _shipped(q_multimodal_decode),
+        "frame_sample": _shipped(q_frame_sample),
         "payload_validation": _shipped(q_payload_validation),
     }
 
@@ -518,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_crawl": _golden_sql(
             "frontier_crawl",
             "url_canon, url_hash, status, protocol, wave_id, depth"),
+        "frame_sample": _golden_sql(
+            "frame_sample", "media_id, fps, n_frames, frame_idx, frame_xxh"),
         "multimodal_decode": _golden_sql(
             "multimodal_decode",
             "image_id, w, h, fmt, decode_ok, mean_lum, phash_check"),

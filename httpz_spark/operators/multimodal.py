@@ -9,12 +9,13 @@ real and tested even where an actual codec is stubbed.
 Stub policy (no PIL/ffmpeg in this container):
 * PNG + the deterministic fake-lossy container decode for real
   (:mod:`httpz_spark.codecs.images`);
-* true JPEG/video decode raises NotImplementedError inside the codec; the
+* true JPEG decode raises NotImplementedError inside the codec; the
   operator catches it per row and emits ``decode_ok = false`` — a poison
   byte-blob never kills the task;
-* :func:`frame_sample` (video) is a clearly-marked deterministic stub that
-  samples byte-strided pseudo-frames, preserving the real operator's
-  schema and batch discipline.
+* :func:`frame_sample` (video) is REAL over the fabric's SPKV container
+  (:mod:`httpz_spark.codecs.video`: seekable index + independently-
+  decodable frames, the MJPEG shape); only true inter-coded formats
+  (H.264 etc.) would need ffmpeg, which slots behind the same functions.
 """
 
 from __future__ import annotations
@@ -142,28 +143,51 @@ def image_embeddings(images: DataFrame, dim: int = 64) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=EMBED_SCHEMA)
 
 
-FRAMES_SCHEMA = "media_id string, frame_idx int, frame binary"
+FRAMES_SCHEMA = (
+    "media_id string, fps int, n_frames int, frame_idx int, frame binary, "
+    "decode_ok boolean"
+)
 
 
-def frame_sample(media: DataFrame, every_n: int = 4, id_col: str = "image_id") -> DataFrame:
-    """STUB video frame sampler (no ffmpeg in this container): slices the
-    binary payload into byte-strided pseudo-frames, preserving the real
-    operator's schema / partitioning / batch shape.  Swap the slicer for a
-    real decoder when the codec lib is present."""
+def frame_sample(media: DataFrame, every_n: int = 4, id_col: str = "media_id") -> DataFrame:
+    """REAL video frame sampler over the SPKV container
+    (:mod:`httpz_spark.codecs.video` — an MJPEG-shaped index header +
+    independently-decodable frames; an ffmpeg-backed decoder slots behind
+    the same parse/extract functions when the lib is present).
+
+    Emits every ``every_n``-th frame as its encoded image payload
+    (decodable with :func:`httpz_spark.codecs.images.decode_image`).
+    Random access via the index: only sampled frames' bytes are sliced —
+    the operator never decodes pixels it does not emit.  A corrupt/foreign
+    payload yields ONE row with ``decode_ok=false`` and no frame (poison
+    is flagged, never fatal, and never silently dropped)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from httpz_spark.codecs.video import video_index
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
+                mid = getattr(r, id_col)
                 data = bytes(r.bytes)
-                n_frames = max(1, len(data) // 256)
-                for idx in range(0, n_frames, every_n):
+                try:
+                    fps, n_frames, spans = video_index(data)
+                except Exception:  # poison blob — flagged, not fatal
                     out.append({
-                        "media_id": getattr(r, id_col), "frame_idx": idx,
-                        "frame": data[idx * 256:(idx + 1) * 256],
+                        "media_id": mid, "fps": None, "n_frames": None,
+                        "frame_idx": None, "frame": None, "decode_ok": False,
+                    })
+                    continue
+                for idx in range(0, n_frames, every_n):
+                    off, ln = spans[idx]
+                    out.append({
+                        "media_id": mid, "fps": fps, "n_frames": n_frames,
+                        "frame_idx": idx, "frame": data[off:off + ln],
+                        "decode_ok": True,
                     })
             yield pd.DataFrame.from_records(out) if out else pd.DataFrame(
-                columns=["media_id", "frame_idx", "frame"]
+                columns=["media_id", "fps", "n_frames", "frame_idx",
+                         "frame", "decode_ok"]
             )
 
     return media.select(F_col(id_col), "bytes").mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -39,6 +39,29 @@ def images_df(spark: SparkSession, cfg: FB.FabricConfig, partitions: int = 8) ->
     )
 
 
+VIDEOS_SCHEMA = (
+    "media_id string, bytes binary, w int, h int, fps int, "
+    "n_frames int, fmt string"
+)
+
+
+def videos_df(
+    spark: SparkSession, cfg: FB.FabricConfig, n_videos: int = 24,
+    partitions: int = 8,
+) -> DataFrame:
+    """Video payload table (SPKV containers), generated distributed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [FB.video_record(FB.video_id_at(int(i)), cfg) for i in pdf["id"]]
+            yield pd.DataFrame.from_records(recs)
+
+    return (
+        spark.range(0, n_videos, 1, partitions)
+        .mapInPandas(gen, schema=VIDEOS_SCHEMA)
+    )
+
+
 DNS_SCHEMA = "host string, a_records array<string>, aaaa_records array<string>, cname_target string"
 
 

@@ -606,6 +606,42 @@ def golden_frontier_crawl():
 # multimodal_decode — driver-side numpy recompute over the payload table
 # ---------------------------------------------------------------------------
 
+def golden_frame_sample(every_n=2, n_videos=24):
+    """Independent replay of the frame_sample contract query: the SPKV
+    header is re-parsed HERE from the documented layout (codecs/video.py
+    docstring: magic|ver u8|fps u8|n_frames u16|u32 lengths|frames — all
+    BE), not via the engine's video_index; frame identity is the pinned
+    pure-python xxh64 of the sliced frame bytes (Spark F.xxhash64)."""
+    import struct
+
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=8, n_hosts=4)
+    rows = []
+    for i in range(n_videos):
+        rec = FB.video_record(FB.video_id_at(i), world)
+        data = rec["bytes"]
+        magic, ver, fps, n_frames = struct.unpack_from(">4sBBH", data, 0)
+        assert magic == b"SPKV" and ver == 1
+        lens = struct.unpack_from(f">{n_frames}I", data, 8)
+        pos = 8 + 4 * n_frames
+        spans = []
+        for ln in lens:
+            spans.append((pos, ln))
+            pos += ln
+        for idx in range(0, n_frames, every_n):
+            off, ln = spans[idx]
+            rows.append((rec["media_id"], fps, n_frames, idx,
+                         xxh64(data[off:off + ln])))
+    write_golden("frame_sample", pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "fps": pa.array([r[1] for r in rows], pa.int32()),
+        "n_frames": pa.array([r[2] for r in rows], pa.int32()),
+        "frame_idx": pa.array([r[3] for r in rows], pa.int32()),
+        "frame_xxh": pa.array([r[4] for r in rows], pa.int64()),
+    }))
+
+
 def golden_multimodal_decode():
     from httpz_spark.codecs.images import average_hash, decode_image
     from httpz_spark.sources import fabric as FB
@@ -714,6 +750,7 @@ GOLDENS = {
     "ivf_ann_topk": golden_ivf_ann_topk,
     "ivf_ann_topk_256": golden_ivf_ann_topk_256,
     "winnow_fingerprints": golden_winnow_fingerprints,
+    "frame_sample": golden_frame_sample,
     "payload_validation": golden_payload_validation,
     "crawl_single_wave": golden_crawl_single_wave,
     "frontier_crawl": golden_frontier_crawl,

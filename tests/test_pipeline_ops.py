@@ -148,8 +148,60 @@ def test_multimodal_decode_and_embed(spark):
         v = np.array(e["embedding"], dtype=np.float64)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-3
 
-    frames = M.frame_sample(images, every_n=2).collect()
-    assert len(frames) > 24  # multiple pseudo-frames per payload
+def test_frame_sample_real_container(spark):
+    """frame_sample over the SPKV video container: sampled frames are the
+    exact encoded frames the fabric wrote (bit-equal), every_n indices are
+    right, and each frame decodes to the fabric's frame pixels (exact for
+    png, quantized for the fake-lossy fmt)."""
+    from httpz_spark.codecs.images import decode_image, quantize_lossy
+    from httpz_spark.codecs.video import extract_frame
+
+    world = FB.FabricConfig(n_images=8, n_hosts=4)
+    videos = S.videos_df(spark, world, n_videos=6, partitions=2)
+    rows = M.frame_sample(videos, every_n=2).collect()
+
+    raw = {r["media_id"]: bytes(r["bytes"]) for r in videos.collect()}
+    by_media = {}
+    for r in rows:
+        assert r["decode_ok"]
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(raw)
+    for mid, rs in by_media.items():
+        w, h, fps, n_frames, fmt = FB.video_meta(mid, world)
+        assert all(r["fps"] == fps and r["n_frames"] == n_frames for r in rs)
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n_frames, 2))
+        for r in rs:
+            blob = bytes(r["frame"])
+            assert blob == extract_frame(raw[mid], r["frame_idx"])
+            px = decode_image(blob, fmt)
+            want = FB.video_frame_pixels(mid, r["frame_idx"], world)
+            if fmt == "jpeg":
+                want = quantize_lossy(want)
+            assert (px == want).all()
+
+
+def test_frame_sample_poison_flagged(spark):
+    """A corrupt/foreign payload yields one decode_ok=false row, no frames,
+    no task death; valid rows in the same batch are unaffected."""
+    from httpz_spark.codecs.video import SPKV_MAGIC
+
+    world = FB.FabricConfig(n_images=8, n_hosts=4)
+    good = FB.video_record("vidok", world)
+    poison = [
+        ("p_notmagic", bytearray(b"\x00\x01\x02\x03 not a video")),
+        ("p_truncated", bytearray(SPKV_MAGIC + b"\x01\x08\x00\xff")),
+        ("p_empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(
+        [("vidok", bytearray(good["bytes"]))] + poison,
+        "media_id string, bytes binary",
+    )
+    rows = M.frame_sample(df, every_n=1).collect()
+    bad = [r for r in rows if not r["decode_ok"]]
+    ok = [r for r in rows if r["decode_ok"]]
+    assert sorted(r["media_id"] for r in bad) == ["p_empty", "p_notmagic", "p_truncated"]
+    assert all(r["frame"] is None for r in bad)
+    assert len(ok) == good["n_frames"] and {r["media_id"] for r in ok} == {"vidok"}
 
 
 def test_decode_stub_poison_row(spark):
