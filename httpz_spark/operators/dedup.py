@@ -150,28 +150,63 @@ def ngram_jaccard_pairs(
     share at least one shingle with df <= max_df (standard LSH-style
     candidate pruning; df-capped candidates + exact verify).  Set
     ``max_df=None`` for the exhaustive all-co-shingled-pairs behavior."""
-    # ONE shingle pass, persisted: candidate gen (+ df cap), verify sizes,
-    # and verify common-counts all read the same materialization (the
-    # round-2 plan ran normalize+split+explode four times over the corpus)
+    # ONE shingle pass, persisted, and NO separate verify double-join: the
+    # candidate self-join's rows ARE the per-(a,b,rare-shingle)
+    # co-occurrences, so grouping them yields the rare-shingle common count
+    # at the same shuffle cost the old .distinct() already paid.  The hot
+    # shingles (df > max_df, excluded from the join to avoid the d² blowup)
+    # contribute |hot(a) ∩ hot(b)| — computed NATIVELY from tiny per-doc
+    # hot-shingle sets (each doc holds at most the few distinct hot
+    # shingles), never via a join explosion.  n_common is exact:
+    # every (id, shingle) is unique (word_shingles array_distinct) and
+    # every shingle is either rare or hot.  Measured at sf0.1: the old
+    # cand->distinct->verify plan spent ~17s re-joining 1.1M pairs against
+    # the full shingle table; this shape removes that entirely.
     sh = word_shingles(docs, text_col, id_col, shingle_k).persist()
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
+        df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        rare = df_tbl.filter(F.col("_df") <= max_df).select("shingle")
         cand_sh = sh.join(rare, "shingle")
+        hot = df_tbl.filter(F.col("_df") > max_df).select("shingle")
+        # per-doc hot-shingle sets; rows only for docs that HAVE hot
+        # shingles (left joins below treat absence as the empty set)
+        doc_hot = (
+            sh.join(hot, "shingle")
+            .groupBy("id").agg(F.collect_set("shingle").alias("_hot"))
+        )
     else:
-        cand_sh = sh
+        cand_sh, doc_hot = sh, None
     a, b = cand_sh.alias("a"), cand_sh.alias("b")
-    cand = (
+    common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
+        .groupBy("a", "b").agg(F.count("*").alias("_nc"))
     )
-    verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k,
-                              shingles=sh)
-    return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    if doc_hot is not None:
+        common = (
+            common
+            .join(doc_hot.select(F.col("id").alias("a"), F.col("_hot").alias("_ha")), "a", "left")
+            .join(doc_hot.select(F.col("id").alias("b"), F.col("_hot").alias("_hb")), "b", "left")
+            .withColumn(
+                "_nc",
+                F.col("_nc") + F.when(
+                    F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+                    F.size(F.array_intersect("_ha", "_hb")),
+                ).otherwise(F.lit(0)),
+            )
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    out = (
+        common
+        .join(sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("_na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("_nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("_nc").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_nc")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
