@@ -455,7 +455,12 @@ def run_wavesize(cpus: int = 32) -> None:
     images = S.images_df(spark, world, partitions=cpus).persist()
     images.count()
     results = {}
-    for n in (512_000, 1_000_000, 2_000_000):
+    sizes = tuple(
+        int(s) for s in os.environ.get(
+            "BENCH_WAVE_SIZES", "512000,1000000,2000000"
+        ).split(",")
+    )
+    for n in sizes:
         page_seeds = [
             f"https://{FB.host_for_image(FB.image_id_at(i % CRAWL_IMAGES), world)}"
             f"/d{i // CRAWL_IMAGES}/{FB.image_id_at(i % CRAWL_IMAGES)}"
