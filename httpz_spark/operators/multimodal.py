@@ -108,9 +108,12 @@ EMBED_SCHEMA = "image_id string, embedding array<float>"
 
 
 def image_embeddings(images: DataFrame, dim: int = 64) -> DataFrame:
-    """DETERMINISTIC FAKE feature extractor (clearly marked): 8x8 block-mean
-    thumbnail flattened + L2-normalized as a 64-d embedding.  A real model
-    would slot into the same mapInPandas stage with the same schema."""
+    """Classical tiny-image descriptor as the embedding: 8x8 block-mean
+    luminance, mean-centered + L2-normalized (a real, deterministic
+    function of the decoded pixels — the pre-deep-learning baseline for
+    image similarity).  NOT a learned model: a neural encoder slots into
+    the same mapInPandas stage with the same schema when its weights/
+    runtime are available."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from httpz_spark.codecs.images import decode_image
