@@ -264,6 +264,16 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters -> canonical doc: connected components over the
+    ngram duplicate pairs (iterative min-label propagation with
+    localCheckpoint lineage truncation — operators/dedup.py)."""
+    from httpz_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clusters(ngram_jaccard_pairs(d, threshold=0.2))
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -487,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _shipped(q_text_stats),
         "lang_id": _shipped(q_lang_id),
         "ngram_jaccard_dups": _shipped(q_ngram_jaccard_dups),
+        "dedup_clusters": _shipped(q_dedup_clusters),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -683,7 +694,50 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "ngram_jaccard_dups": f"""
-            WITH w AS (
+            WITH {_ngram_pairs_ctes()}
+            SELECT a, b, jaccard FROM p
+        """,
+        # pairs -> components: transitive closure via recursive CTE, the
+        # min reachable id is the canonical doc of each cluster
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_ngram_pairs_ctes()},
+            e AS (
+              SELECT a AS x, b AS y FROM p
+              UNION
+              SELECT b AS x, a AS y FROM p
+            ),
+            reach(id, r) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
+            )
+            SELECT id, least(id, min(r)) AS canonical FROM reach GROUP BY id
+        """,
+        "cosine_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+            QUALIFY rank <= 5
+        """,
+    }
+
+
+_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _ngram_pairs_ctes() -> str:
+    """Shared CTE chain producing the exact ngram-Jaccard duplicate pairs
+    (threshold 0.2) as CTE ``p(a, b)`` — used verbatim by the
+    ngram_jaccard_dups oracle and as the input graph of the
+    dedup_clusters oracle."""
+    return f"""
+            w AS (
               SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws FROM documents
             ),
             sh AS (
@@ -708,27 +762,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh sa ON sa.doc_id = c.a
               JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
               GROUP BY c.a, c.b
-            )
-            SELECT c.a, c.b,
-                   round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
-            FROM common c
-            JOIN sizes sa ON sa.doc_id = c.a
-            JOIN sizes sb ON sb.doc_id = c.b
-            WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
-        """,
-        "cosine_topk": """
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(c.embedding::DOUBLE[],
-                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-                                                     q.embedding::DOUBLE[]) DESC,
-                              c.vec_id) AS rank
-            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-            QUALIFY rank <= 5
-        """,
-    }
-
-
-_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+            ),
+            p AS (
+              SELECT c.a, c.b,
+                     round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+              FROM common c
+              JOIN sizes sa ON sa.doc_id = c.a
+              JOIN sizes sb ON sb.doc_id = c.b
+              WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
+            )"""

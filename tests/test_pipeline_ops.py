@@ -357,6 +357,39 @@ def test_ivf_numpy_path_equals_literal_path(spark, emb, monkeypatch):
     assert numpy_out == literal_out
 
 
+def test_connected_components(spark):
+    """Chain graph (diameter > cluster-clique case), disjoint components,
+    and a random-graph cross-check against a pure-python union-find."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["canonical"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {n: find(n) for n in nodes}
+    pdf = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["canonical"] for r in D.dedup_clusters(pdf).collect()}
+    assert got == want
+
+
 def test_trained_quantizer_deterministic_and_better(spark, emb):
     """train_centroids: (a) bit-identical across runs (driver-side numpy,
     fixed operand order); (b) lower mean quantization error (1 - cos to
