@@ -274,6 +274,28 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(ngram_jaccard_pairs(d, threshold=0.2))
 
 
+def q_training_shard(spark, sf_dir):
+    """Capstone pipeline composition — what a training-data build actually
+    runs: near-dup pairs -> components -> keep each cluster's canonical
+    doc -> quality gate -> (doc_id, n_tokens, quality) shard manifest."""
+    from httpz_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from httpz_spark.operators.textstats import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    drop = (
+        dedup_clusters(ngram_jaccard_pairs(d, threshold=0.2))
+        .filter(F.col("id") != F.col("canonical"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = d.join(drop, "doc_id", "left_anti")
+    t = F.col("text")
+    return kept.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -498,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _shipped(q_lang_id),
         "ngram_jaccard_dups": _shipped(q_ngram_jaccard_dups),
         "dedup_clusters": _shipped(q_dedup_clusters),
+        "training_shard": _shipped(q_training_shard),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -712,6 +735,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
             )
             SELECT id, least(id, min(r)) AS canonical FROM reach GROUP BY id
+        """,
+        # capstone: dedup-clusters + quality gate + token counts in one
+        # shard manifest (shares the pairs CTEs and the text_stats formulas)
+        "training_shard": f"""
+            WITH RECURSIVE {_ngram_pairs_ctes()},
+            e AS (
+              SELECT a AS x, b AS y FROM p
+              UNION
+              SELECT b AS x, a AS y FROM p
+            ),
+            reach(id, r) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS canonical FROM reach GROUP BY id),
+            drops AS (SELECT id FROM comp WHERE id != canonical),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN {_NORM_DUCK} = '' THEN 0
+                          ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tokens,
+                     round(
+                       (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                             WHEN length(text) > 2000 THEN 0.7
+                             ELSE length(text) / 100.0 END) * 0.4
+                     + (CASE WHEN p2 <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p2 - 0.1) * 5.0) END) * 0.3
+                     + least(1.0, s2 * 10.0) * 0.3, 6) AS quality
+              FROM (
+                SELECT *,
+                  (length(text) - length(regexp_replace(text,
+                      '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) AS p2,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('the','and','of','to','is'))) * 1.0
+                      / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s2
+                FROM documents
+              )
+            )
+            SELECT doc_id, n_tokens, quality FROM scored
+            WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
         """,
         "cosine_topk": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
