@@ -90,19 +90,50 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _finish_pairs(out: DataFrame, sh: DataFrame, eager: bool) -> DataFrame:
+    """Storage-lifecycle tail shared by the pair generators: eagerly
+    materialize the (small — near-dup pairs only) output, then release the
+    big exploded-shingle cache.  Without the eager barrier there is no
+    moment at which the operator could unpersist — the caller's terminal
+    action happens after we return, and Spark's ContextCleaner does NOT
+    reliably reclaim driver-referenced caches (measured: a GC'd lazy
+    localCheckpoint stayed in executor storage indefinitely) — so repeated
+    per-shard/per-day invocations would accrete full shingle caches for the
+    life of the session (round-3 review finding).  What remains persisted
+    after return is only the output's own checkpoint blocks: O(pairs), not
+    O(corpus × shingles).  ``eager=False`` skips both the barrier and the
+    internal persist — the fully-lazy plan for callers that pass their own
+    ``shingles=`` frame and own its caching."""
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5, shingles: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a < b) via LSH banding + exact Jaccard verification.
     Candidate generation never does n² work: pairs come from an equi
-    self-join on (band, band_hash)."""
+    self-join on (band, band_hash).
+
+    Storage contract: with ``eager=True`` (default) the result is
+    materialized before return and the internal shingle cache is released
+    (see :func:`_finish_pairs`); with ``eager=False`` the plan is fully
+    lazy and nothing is persisted here — pass a cached ``shingles`` frame
+    you own, or accept the explode being recomputed per consumer."""
     rows_per_band = num_hashes // bands
     # ONE normalize+split+explode pass over the corpus, shared by signature
     # building AND the exact-Jaccard verify (sizes + common counts) — the
     # round-2 plan recomputed it three times (round-2 review finding)
-    sh = word_shingles(docs, text_col, id_col, shingle_k).persist()
+    owns = shingles is None
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, shingle_k)
+    if owns and eager:
+        sh = sh.persist()
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
                              shingles=sh)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -132,12 +163,14 @@ def minhash_lsh_pairs(
     )
     verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k,
                               shingles=sh)
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    out = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    return _finish_pairs(out, sh, owns and eager)
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_k: int = 3, threshold: float = 0.8, max_df: int | None = 1000,
+    shingles: DataFrame | None = None, eager: bool = True,
 ) -> DataFrame:
     """Word-k-gram Jaccard pairs: candidates from an equi self-join on
     shingles, exact Jaccard verify over ALL shingles of each candidate.
@@ -149,7 +182,11 @@ def ngram_jaccard_pairs(
     them, so reported jaccard values are exact.  Semantics: pairs that
     share at least one shingle with df <= max_df (standard LSH-style
     candidate pruning; df-capped candidates + exact verify).  Set
-    ``max_df=None`` for the exhaustive all-co-shingled-pairs behavior."""
+    ``max_df=None`` for the exhaustive all-co-shingled-pairs behavior.
+
+    Storage contract: same as :func:`minhash_lsh_pairs` — eager barrier +
+    shingle-cache release by default; ``eager=False``/``shingles=`` for
+    caller-owned lifecycles."""
     # ONE shingle pass, persisted, and NO separate verify double-join: the
     # candidate self-join's rows ARE the per-(a,b,rare-shingle)
     # co-occurrences, so grouping them yields the rare-shingle common count
@@ -162,7 +199,10 @@ def ngram_jaccard_pairs(
     # every shingle is either rare or hot.  Measured at sf0.1: the old
     # cand->distinct->verify plan spent ~17s re-joining 1.1M pairs against
     # the full shingle table; this shape removes that entirely.
-    sh = word_shingles(docs, text_col, id_col, shingle_k).persist()
+    owns = shingles is None
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, shingle_k)
+    if owns and eager:
+        sh = sh.persist()
     if max_df is not None:
         df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         rare = df_tbl.filter(F.col("_df") <= max_df).select("shingle")
@@ -206,7 +246,8 @@ def ngram_jaccard_pairs(
             / (F.col("_na") + F.col("_nb") - F.col("_nc")).cast("double"),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    out = out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    return _finish_pairs(out, sh, owns and eager)
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,

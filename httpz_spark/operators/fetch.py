@@ -20,8 +20,11 @@ Scale properties:
 * No driver round-trips: config + fabric rules travel in the closure;
   payload rows ride the batch (the sandbox substitute for the network).
 * Certs are parsed once per distinct DER per batch (hosts share certs).
-* ONE transport per batch (not per row): the record provider is a mutable
-  pointer swapped per row — object construction stays out of the hot loop.
+* ONE transport per task (not per batch or row), closed when the batch
+  iterator is exhausted: real transports own an event loop (and a session/
+  connector for aiohttp), so construction stays out of the hot loop and
+  nothing leaks on long-running tasks.  The record provider is a mutable
+  pointer swapped per row.
 * Batch columns are unpacked once into python lists (``to_dict("records")``
   builds a dict per row and measured ~2× slower); output is assembled
   column-wise.
@@ -308,107 +311,122 @@ def make_fetch_stage(
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cert_cache: dict = {}
         custom_headers = dict(cfg.custom_headers) if cfg.custom_headers else None
+        # ONE transport per task, shared across all Arrow batches and closed
+        # when the batch iterator is exhausted — real transports own an event
+        # loop (+ ClientSession/TCPConnector for aiohttp), so per-batch
+        # construction without close() leaked loops and FDs on long tasks
+        # (round-3 review finding; the transports' own docstrings promise
+        # "one instance per executor task").  Batch schemas are constant
+        # within a task, so the payload-provider decision made on the first
+        # non-empty batch holds for all of them.
+        transport = None
+        provider = None
 
-        for pdf in batches:
-            if stop_file is not None:
-                import os
+        try:
+            for pdf in batches:
+                if stop_file is not None:
+                    import os
 
-                if os.path.exists(stop_file):
-                    raise RuntimeError("cooperative stop requested")
-            n = len(pdf)
-            if n == 0:
-                continue
-            cols = set(pdf.columns)
-            has_payload = "image_id" in cols and "caption" in cols
-            provider = _BatchProvider(fabric_cfg) if has_payload else None
-            if transport_factory is not None:
-                transport = transport_factory(provider)
-            else:
-                transport = FabricTransport(fabric_cfg, record_provider=provider)
+                    if os.path.exists(stop_file):
+                        raise RuntimeError("cooperative stop requested")
+                n = len(pdf)
+                if n == 0:
+                    continue
+                cols = set(pdf.columns)
+                has_payload = "image_id" in cols and "caption" in cols
+                if transport is None:
+                    provider = _BatchProvider(fabric_cfg) if has_payload else None
+                    if transport_factory is not None:
+                        transport = transport_factory(provider)
+                    else:
+                        transport = FabricTransport(fabric_cfg, record_provider=provider)
 
-            # unpack columns ONCE (python lists beat per-row .loc/dict access)
-            targets = pdf["scan_target"].tolist()
-            ports = [None if pd.isna(p) else int(p) for p in pdf["port"].tolist()]
-            p1s = pdf["proto_first"].tolist()
-            p2s = pdf["proto_second"].tolist()
-            if has_payload:
-                iids = pdf["image_id"].tolist()
-                caps = pdf["caption"].tolist()
-                ws = pdf["w"].tolist()
-                hs = pdf["h"].tolist()
-                fmts = pdf["fmt"].tolist()
-                byts = pdf["bytes"].tolist() if "bytes" in cols else None
-                phs = pdf["phash"].tolist() if "phash" in cols else None
-                if "host" in cols and "path" in cols:
-                    # frontier rows resolve page-path image ids natively and
-                    # leave root/odd paths NULL — resolve those here (rare)
-                    # so the emitted image_id column is complete; their
-                    # payload record regenerates in-transport either way
-                    from httpz_spark.sources.fabric import page_image_id
+                # unpack columns ONCE (python lists beat per-row .loc/dict access)
+                targets = pdf["scan_target"].tolist()
+                ports = [None if pd.isna(p) else int(p) for p in pdf["port"].tolist()]
+                p1s = pdf["proto_first"].tolist()
+                p2s = pdf["proto_second"].tolist()
+                if has_payload:
+                    iids = pdf["image_id"].tolist()
+                    caps = pdf["caption"].tolist()
+                    ws = pdf["w"].tolist()
+                    hs = pdf["h"].tolist()
+                    fmts = pdf["fmt"].tolist()
+                    byts = pdf["bytes"].tolist() if "bytes" in cols else None
+                    phs = pdf["phash"].tolist() if "phash" in cols else None
+                    if "host" in cols and "path" in cols:
+                        # frontier rows resolve page-path image ids natively and
+                        # leave root/odd paths NULL — resolve those here (rare)
+                        # so the emitted image_id column is complete; their
+                        # payload record regenerates in-transport either way
+                        from httpz_spark.sources.fabric import page_image_id
 
-                    hosts = pdf["host"].tolist()
-                    paths = pdf["path"].tolist()
-                    fixed = False
+                        hosts = pdf["host"].tolist()
+                        paths = pdf["path"].tolist()
+                        fixed = False
+                        for i in range(n):
+                            if iids[i] is None and hosts[i] is not None:
+                                hp = hosts[i]
+                                bare = (
+                                    hp.rsplit(":", 1)[0]
+                                    if ":" in hp and hp.rsplit(":", 1)[1].isdigit()
+                                    else hp
+                                )
+                                iids[i] = page_image_id(
+                                    bare, paths[i] or "/", fabric_cfg
+                                )
+                                fixed = True
+                        if fixed and "image_id" in passthrough_cols:
+                            pdf = pdf.assign(image_id=iids)
+
+                if hasattr(transport, "fetch_many"):
+                    # batched-async seam: the transport drives ALL row state
+                    # machines concurrently (asyncio semaphore inside the task —
+                    # scanner.py:430-440's concurrent_limit analogue).  Such
+                    # transports talk to a real network and ignore the payload
+                    # provider; per-row containment comes back as exception
+                    # objects in the ordered result list.
+                    gens = [
+                        scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
+                                     cfg, cert_cache, custom_headers)
+                        for i in range(n)
+                    ]
+                    results = [
+                        _process_row(r) if isinstance(r, BaseException) else r
+                        for r in transport.fetch_many(gens)
+                    ]
+                else:
+                    results = []
+                    append = results.append
                     for i in range(n):
-                        if iids[i] is None and hosts[i] is not None:
-                            hp = hosts[i]
-                            bare = (
-                                hp.rsplit(":", 1)[0]
-                                if ":" in hp and hp.rsplit(":", 1)[1].isdigit()
-                                else hp
+                        if has_payload and iids[i] is not None:
+                            provider.rec = {
+                                "image_id": iids[i],
+                                "bytes": byts[i] if byts is not None else None,
+                                "w": ws[i], "h": hs[i], "fmt": fmts[i],
+                                "caption": caps[i],
+                                "phash": phs[i] if phs is not None else None,
+                            }
+                        elif provider is not None:
+                            provider.rec = None
+                        try:
+                            result = drive_scan_sync(
+                                scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
+                                             cfg, cert_cache, custom_headers),
+                                transport,
                             )
-                            iids[i] = page_image_id(
-                                bare, paths[i] or "/", fabric_cfg
-                            )
-                            fixed = True
-                    if fixed and "image_id" in passthrough_cols:
-                        pdf = pdf.assign(image_id=iids)
+                        except Exception as e:  # containment — scanner.py:409-414
+                            result = _process_row(e)
+                        append(result)
 
-            if hasattr(transport, "fetch_many"):
-                # batched-async seam: the transport drives ALL row state
-                # machines concurrently (asyncio semaphore inside the task —
-                # scanner.py:430-440's concurrent_limit analogue).  Such
-                # transports talk to a real network and ignore the payload
-                # provider; per-row containment comes back as exception
-                # objects in the ordered result list.
-                gens = [
-                    scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
-                                 cfg, cert_cache, custom_headers)
-                    for i in range(n)
-                ]
-                results = [
-                    _process_row(r) if isinstance(r, BaseException) else r
-                    for r in transport.fetch_many(gens)
-                ]
-            else:
-                results = []
-                append = results.append
-                for i in range(n):
-                    if has_payload and iids[i] is not None:
-                        provider.rec = {
-                            "image_id": iids[i],
-                            "bytes": byts[i] if byts is not None else None,
-                            "w": ws[i], "h": hs[i], "fmt": fmts[i],
-                            "caption": caps[i],
-                            "phash": phs[i] if phs is not None else None,
-                        }
-                    elif provider is not None:
-                        provider.rec = None
-                    try:
-                        result = drive_scan_sync(
-                            scan_row_gen(targets[i], ports[i], p1s[i], p2s[i],
-                                         cfg, cert_cache, custom_headers),
-                            transport,
-                        )
-                    except Exception as e:  # containment — scanner.py:409-414
-                        result = _process_row(e)
-                    append(result)
-
-            # column-wise assembly: passthrough columns copy as whole arrays
-            # (row order is preserved 1:1), result columns gather per key
-            data = {c: pdf[c].values for c in passthrough_cols}
-            for key in _RESULT_KEYS:
-                data[key] = [r[key] for r in results]
-            yield pd.DataFrame(data)
+                # column-wise assembly: passthrough columns copy as whole arrays
+                # (row order is preserved 1:1), result columns gather per key
+                data = {c: pdf[c].values for c in passthrough_cols}
+                for key in _RESULT_KEYS:
+                    data[key] = [r[key] for r in results]
+                yield pd.DataFrame(data)
+        finally:
+            if transport is not None and hasattr(transport, "close"):
+                transport.close()
 
     return fetch_batches

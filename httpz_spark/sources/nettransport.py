@@ -67,7 +67,9 @@ def _stdlib_classes() -> dict:
         "ssl": ssl.SSLError,
         "conn": (ConnectionError, socket.gaierror,
                  asyncio.IncompleteReadError, EOFError, OSError),
-        "client": ProtocolError,
+        # LimitOverrunError (response head exceeding the stream buffer even
+        # at our raised limit) is a protocol-level failure, not UNKNOWN
+        "client": (ProtocolError, asyncio.LimitOverrunError),
     }
 
 
@@ -114,6 +116,10 @@ class AsyncioTransport:
         self.capture_certs = capture_certs
         self.max_body_bytes = max_body_bytes
         self.resolver = resolver
+        # asyncio streams default to a 64 KiB buffer; readuntil() on a
+        # response head larger than that raises LimitOverrunError, so give
+        # headers ample room (1 MiB — far beyond any sane server's head)
+        self._stream_limit = 1 << 20
         self._loop: asyncio.AbstractEventLoop | None = None
         self._ssl_ctx = None
 
@@ -201,8 +207,16 @@ class AsyncioTransport:
         scheme, host, port, target = _parse_url(url)
         if scheme not in _DEFAULT_PORTS:
             raise ProtocolError(f"unsupported scheme: {scheme!r}")
-        connect_host = self.resolver(host) if self.resolver else host
-        kwargs = {}
+        if self.resolver:
+            # custom resolvers are typically blocking network calls
+            # (DnspythonResolver) — run them off-loop so one slow lookup
+            # doesn't serialize every in-flight request on this task's loop
+            connect_host = await asyncio.get_running_loop().run_in_executor(
+                None, self.resolver, host
+            )
+        else:
+            connect_host = host
+        kwargs = {"limit": self._stream_limit}
         if scheme == "https":
             kwargs["ssl"] = self._ssl_context()
             kwargs["server_hostname"] = host  # SNI = original name even
@@ -281,10 +295,12 @@ class AsyncioTransport:
                     break
                 data = await reader.readexactly(size)
                 await reader.readexactly(2)  # CRLF after chunk
+                if total < cap:
+                    # the chunk that CROSSES the cap contributes its prefix
+                    # (truncate-at-cap, not drop-the-chunk)
+                    chunks.append(data[: cap - total])
                 total += size
-                if total <= cap:
-                    chunks.append(data)
-            return b"".join(chunks)[:cap]
+            return b"".join(chunks)
         cl = headers.get("Content-Length")
         if cl is not None:
             try:

@@ -124,6 +124,65 @@ def test_row_logic_exception_surfaces_as_exception_object():
     assert not isinstance(out[2], BaseException)
 
 
+def test_fetch_stage_one_transport_per_task_and_closed():
+    """Round-3 review finding: the stage built a transport per Arrow batch
+    and never closed it — real transports leak an event loop (+ session)
+    each time.  The stage function is a plain generator, so drive it
+    directly with several batches: exactly ONE construction for the whole
+    task, close() exactly once, after the iterator is exhausted."""
+    import pandas as pd
+
+    from httpz_spark.operators.fetch import make_fetch_stage
+
+    cfg = ScanConfig.all_on(retries=0)
+    events = []
+
+    class RecordingTransport:
+        def __init__(self):
+            events.append("create")
+            self._fabric = FB.FabricTransport(WORLD)
+
+        def fetch(self, url, protocol, **kw):
+            return self._fabric.fetch(url, protocol, **kw)
+
+        def close(self):
+            events.append("close")
+
+    stage = make_fetch_stage(cfg, WORLD, ["url_hash"],
+                             transport_factory=lambda rp: RecordingTransport())
+
+    def batch(lo, hi):
+        return pd.DataFrame(
+            {"url_hash": range(lo, hi),
+             "scan_target": [f"h{i}.test" for i in range(lo, hi)],
+             "port": [None] * (hi - lo),
+             "proto_first": ["https"] * (hi - lo),
+             "proto_second": ["http"] * (hi - lo)}
+        )
+
+    outs = list(stage(iter([batch(0, 4), batch(4, 8), batch(8, 12)])))
+    assert len(outs) == 3 and sum(len(o) for o in outs) == 12
+    assert events == ["create", "close"]
+
+    # close() runs even when a batch raises (e.g. the cooperative-stop path)
+    events.clear()
+    stage2 = make_fetch_stage(cfg, WORLD, ["url_hash"],
+                              transport_factory=lambda rp: RecordingTransport())
+
+    def boom_batches():
+        yield batch(0, 2)
+        raise RuntimeError("mid-task failure")
+
+    it = stage2(boom_batches())
+    next(it)
+    try:
+        next(it)
+    except RuntimeError:
+        pass
+    it.close()
+    assert events == ["create", "close"]
+
+
 def test_fetch_stage_dispatches_to_fetch_many(spark):
     """End-to-end through mapInPandas: a transport advertising fetch_many is
     driven batched; the emitted rows equal the sequential fabric path's."""

@@ -126,6 +126,11 @@ class LocalHttpServer:
             elif path == "/chunked":
                 writer.write(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
                              b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+            elif path == "/bighead":
+                # response head well past asyncio's 64 KiB default stream
+                # buffer — readable only with the transport's raised limit
+                writer.write(b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n"
+                             b"X-Big: " + b"a" * (100 * 1024) + b"\r\n\r\nok")
             elif path == "/noclen":
                 writer.write(b"HTTP/1.1 200 OK\r\n\r\nclose-framed body")
             elif path == "/garbage":
@@ -187,6 +192,64 @@ def test_body_framings(tls_server):
     assert t.fetch(f"{base}/chunked", "https").body == b"hello world"
     assert t.fetch(f"{base}/noclen", "https").body == b"close-framed body"
     t.close()
+
+
+def test_chunked_body_truncates_at_cap(tls_server):
+    """The chunk that CROSSES max_body_bytes contributes its prefix — the
+    old code dropped that chunk entirely, returning a short body with the
+    boundary bytes lost (round-3 review finding)."""
+    base = f"https://127.0.0.1:{tls_server.port}"
+    # /chunked serves 5-byte "hello" + 6-byte " world"; cap=8 cuts the
+    # second chunk mid-way
+    t = AsyncioTransport(timeout_s=5.0, max_body_bytes=8)
+    assert t.fetch(f"{base}/chunked", "https").body == b"hello wo"
+    t.close()
+    # cap on a chunk boundary exactly
+    t2 = AsyncioTransport(timeout_s=5.0, max_body_bytes=5)
+    assert t2.fetch(f"{base}/chunked", "https").body == b"hello"
+    t2.close()
+
+
+def test_big_response_head_parses(tls_server):
+    """>64 KiB response heads exceed asyncio's default stream buffer; the
+    transport raises the limit so they parse instead of LimitOverrunError
+    -> UNKNOWN (round-3 review finding)."""
+    t = AsyncioTransport(timeout_s=5.0)
+    resp = t.fetch(f"https://127.0.0.1:{tls_server.port}/bighead", "https")
+    assert resp.status == 200 and resp.body == b"ok"
+    assert len(resp.headers["X-Big"]) == 100 * 1024
+    t.close()
+
+
+def test_blocking_resolver_runs_off_loop():
+    """A blocking custom resolver must not serialize concurrent requests —
+    it runs via run_in_executor, so N resolutions overlap (round-3 review
+    finding: it used to run inline on the event loop)."""
+    plain = LocalHttpServer()
+    try:
+        port = plain.port
+
+        def slow_resolver(host):
+            time.sleep(0.3)
+            return "127.0.0.1"
+
+        t = AsyncioTransport(timeout_s=5.0, concurrent_limit=16,
+                             resolver=slow_resolver)
+        cfg = ScanConfig(fetch_title=True)
+        gens = [
+            scan_row_gen(f"fake{i}.test:{port}", None, "http", "http",
+                         cfg, {}, None)
+            for i in range(8)
+        ]
+        t0 = time.monotonic()
+        results = t.fetch_many(gens)
+        wall = time.monotonic() - t0
+        assert all(r["status"] == 200 for r in results)
+        # 8 x 0.3s serial = 2.4s; off-loop resolution should be ~0.3-0.6s
+        assert wall < 1.5, wall
+        t.close()
+    finally:
+        plain.stop()
 
 
 def test_error_taxonomy_rows(tls_server):

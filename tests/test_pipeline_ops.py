@@ -55,6 +55,42 @@ def test_ngram_jaccard_and_minhash_lsh(spark):
     assert (1, 2) in lsh and (1, 3) in lsh  # identical docs always collide
 
 
+def _persistent_rdd_ids(spark):
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def test_pair_generators_release_shingle_cache(spark):
+    """Round-3 review finding: the pair generators persisted the exploded
+    shingle frame and never unpersisted it.  Now the (small) output is
+    materialized eagerly and the shingle cache is released before return —
+    after materialization at most the output checkpoints themselves remain
+    in storage, never the O(corpus × shingles) explode."""
+    docs = dup_docs(spark)
+    before = _persistent_rdd_ids(spark)
+    D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    new = _persistent_rdd_ids(spark) - before
+    # one eager output-checkpoint RDD per operator is allowed; the two
+    # shingle caches would make this 4
+    assert len(new) <= 2, f"leaked persistent RDDs: {sorted(new)}"
+
+
+def test_pair_generators_lazy_mode_persists_nothing(spark):
+    """eager=False: fully lazy plan, nothing persisted by the operator."""
+    docs = dup_docs(spark)
+    before = _persistent_rdd_ids(spark)
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5, eager=False)
+    rows = {(r["a"], r["b"]) for r in out.collect()}
+    assert (1, 2) in rows
+    # no NEW persistent entries (earlier tests' async unpersists may still
+    # be draining out of the map, so compare one-directionally)
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     """MinHash signature agreement ~ true Jaccard (statistical sanity)."""
     sub = docs.limit(40)
