@@ -201,33 +201,23 @@ def start_streaming_unseen(
 
     Per micro-batch: bloom-miss rows pass straight through; maybe-seen rows
     are anti-joined against the durable seen table (``seen_dir`` parquet —
-    production: the Iceberg seen table); accepted keys append to the seen
-    table and accepted rows land in ``out_dir/batch_id=N`` (overwrite per
-    batch id = idempotent redelivery on restart).  Output therefore equals
-    first-ever occurrences EXACTLY, for any bloom size."""
-    import os
+    production: the Iceberg seen table with a batch_id predicate).
 
+    Exactly-once under batch REDELIVERY: both sinks are written per-batch
+    with overwrite (``.../batch_id=N``), and the anti-join consults only
+    seen batches **< N** — so a batch replayed after a crash between the
+    two writes re-derives the identical accepted set (its own partial seen
+    write is excluded and simply overwritten).  The round-3 design appended
+    accepted keys to a flat seen dir BEFORE writing the output, so a crash
+    between the writes made the replay anti-join the batch against its own
+    keys, silently dropping first-ever rows (round-3 review finding).
+    Output therefore equals first-ever occurrences EXACTLY, for any bloom
+    size and any redelivery pattern."""
     flagged = streaming_unseen_flagged(
         stream_df, partitions, url_hash_col, url_col,
         capacity_per_group, bits_per_key,
     )
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        definite = batch_df.filter(~F.col("maybe_seen"))
-        maybe = batch_df.filter(F.col("maybe_seen"))
-        try:
-            seen_keys = spark.read.parquet(seen_dir).select(url_hash_col)
-            rechecked = maybe.join(seen_keys, url_hash_col, "left_anti")
-        except Exception:  # first batch: no seen table yet
-            rechecked = maybe
-        accepted = (
-            definite.unionByName(rechecked).drop("maybe_seen").localCheckpoint()
-        )
-        accepted.select(url_hash_col).write.mode("append").parquet(seen_dir)
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+    handle = make_unseen_batch_handler(out_dir, seen_dir, url_hash_col)
 
     writer = (
         flagged.writeStream.foreachBatch(handle)
@@ -237,3 +227,52 @@ def start_streaming_unseen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_unseen_batch_handler(out_dir: str, seen_dir: str,
+                              url_hash_col: str = "url_hash"):
+    """The ``foreachBatch`` exact-resolution handler of
+    :func:`start_streaming_unseen`, exposed so redelivery semantics are
+    directly testable (call it twice with the same batch_id = a replay)."""
+    import os
+
+    def seen_before(spark, batch_id: int):
+        """Seen keys of committed batches strictly before ``batch_id`` —
+        explicit directory listing, not a blanket try/except (a transient
+        read error must FAIL the batch, not silently emit duplicates)."""
+        if not os.path.isdir(seen_dir):
+            return None
+        paths = []
+        for name in os.listdir(seen_dir):
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n < batch_id:
+                paths.append(os.path.join(seen_dir, name))
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select(url_hash_col)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        definite = batch_df.filter(~F.col("maybe_seen"))
+        maybe = batch_df.filter(F.col("maybe_seen"))
+        prior = seen_before(spark, batch_id)
+        rechecked = (
+            maybe.join(prior, url_hash_col, "left_anti")
+            if prior is not None else maybe
+        )
+        accepted = (
+            definite.unionByName(rechecked).drop("maybe_seen").localCheckpoint()
+        )
+        accepted.select(url_hash_col).write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch_id={batch_id}")
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return handle

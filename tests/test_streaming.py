@@ -166,6 +166,44 @@ def test_streaming_unseen_dedup_across_batches(spark, tmp_path):
     assert 0 < last_progress["numRowsTotal"] <= 8
 
 
+def test_unseen_handler_idempotent_on_redelivery(spark, tmp_path):
+    """Crash-replay semantics (round-3 review finding): the round-3 handler
+    appended seen keys BEFORE writing the output, so a replayed batch
+    anti-joined against its own keys and silently dropped first-ever rows.
+    Now seen keys are per-batch overwrites and only batches < N are
+    consulted — replaying batch N (even after its seen write landed)
+    reproduces the identical output."""
+    from httpz_spark.streaming.micro import make_unseen_batch_handler
+
+    out_dir, seen_dir = str(tmp_path / "out"), str(tmp_path / "seen")
+    handle = make_unseen_batch_handler(out_dir, seen_dir)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url_hash long, raw string, maybe_seen boolean"
+        )
+
+    b0 = batch([(1, "u1", False), (2, "u2", False)])
+    handle(b0, 0)
+    first = sorted(r["url_hash"] for r in spark.read.parquet(f"{out_dir}/batch_id=0").collect())
+    assert first == [1, 2]
+
+    # replay batch 0 AFTER its seen write landed (the crash-between-writes
+    # case): output must be identical, not emptied by its own seen keys
+    handle(b0, 0)
+    assert sorted(r["url_hash"] for r in spark.read.parquet(f"{out_dir}/batch_id=0").collect()) == [1, 2]
+
+    # batch 1: key 2 re-occurs bloom-flagged -> suppressed by batch 0's
+    # seen keys; key 3 is new; a bloom false-positive on 4 survives the
+    # exact re-check
+    b1 = batch([(2, "u2", True), (3, "u3", False), (4, "u4", True)])
+    handle(b1, 1)
+    assert sorted(r["url_hash"] for r in spark.read.parquet(f"{out_dir}/batch_id=1").collect()) == [3, 4]
+    # replay batch 1 too
+    handle(b1, 1)
+    assert sorted(r["url_hash"] for r in spark.read.parquet(f"{out_dir}/batch_id=1").collect()) == [3, 4]
+
+
 def test_streaming_unseen_exact_with_overfull_bloom(spark, tmp_path):
     """An undersized bloom (capacity 16 for 600 keys -> FP-saturated) must
     degrade to more exact-check work, NEVER to wrong output."""
