@@ -83,7 +83,8 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalize_ws_ascii(text))
 
 
-def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
+def winnow_fingerprints(text: Column, k: int = 8, window: int = 4,
+                        max_chars: int | None = 8192) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     the rolling-hash document-fingerprint scheme): hash every char k-gram
     of the normalized lowercase text, keep the MINIMUM hash of each sliding
@@ -93,19 +94,42 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
     fingerprint, while storing only ~2/(window+1) of all k-gram hashes.
 
     Entirely native array expressions (sequence/transform/slice/array_min)
-    — one codegen'd projection, no UDF, no shuffle."""
-    norm = normalize_ws_ascii(F.lower(text))
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.substr(norm, i, F.lit(k))
-    )
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    n_wins = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_wins),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
-    )
-    return F.array_sort(F.array_distinct(wins))
+    — one codegen'd projection, no UDF, no shuffle.
+
+    ``max_chars`` bounds the per-row working set: fingerprinting covers the
+    first ``max_chars`` raw chars (documented prefix semantics — the same
+    trade the reference makes with its 1 MiB body cap,
+    /root/reference/httpz_scanner/parsers.py:34), so a multi-MiB document
+    costs O(max_chars), not O(len).  Pass ``None`` for unbounded text.
+
+    Shared subtrees (the normalized text, the k-gram hash array) are
+    let-bound via 1-element-array ``transform``s: Catalyst does NOT do
+    common-subexpression elimination across lambda boundaries, so the naive
+    nesting re-evaluates the normalize regex once per array ELEMENT —
+    quadratic per row (measured: a 1 MiB doc never finished; engine-sized
+    300-char texts just hid it)."""
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    norm_expr = normalize_ws_ascii(F.lower(text))
+
+    def _wins_of(hs):
+        n_wins = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        )))
+
+    def _winnow_of(nrm):
+        n_grams = F.greatest(F.length(nrm) - F.lit(k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.substr(nrm, i, F.lit(k))),
+        )
+        # bind the hash array once before the sliding-window pass
+        return F.element_at(F.transform(F.array(hashes), _wins_of), 1)
+
+    # bind the normalized text once before the k-gram pass
+    return F.element_at(F.transform(F.array(norm_expr), _winnow_of), 1)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -10,7 +10,8 @@ surface (``/root/reference/httpz_scanner/cli.py:53-95``) mapped onto
 Flag-for-flag mirror: field toggles (-b -cl -cn -ct -f -hr -i -sc -ti -tls /
 -all), tunables (-c -to -rt -rb -fr), filters (-mc -ec -sh), request shaping
 (-hd -pd), output (-j JSONL to stdout, -o JSONL file, default = the colored
-console formatter), -d debug (error rows shown).  ``--transport`` selects
+console formatter), -d debug (error rows shown), -p running progress
+counter prefixed to console rows.  ``--transport`` selects
 the deterministic fabric (default — this sandbox has no outbound network),
 the stdlib AsyncioTransport, or the import-gated AiohttpTransport; both
 real transports run batched-async (fetch_many) inside each Spark task.
@@ -59,6 +60,8 @@ def parse_args(argv=None):
     # filters / misc
     ap.add_argument("-ec", "--exclude-codes")
     ap.add_argument("-mc", "--match-codes")
+    ap.add_argument("-p", "--progress", action="store_true",
+                    help="Show progress counter")
     ap.add_argument("-pd", "--post-data")
     ap.add_argument("-r", "--resolvers",
                     help="File of DNS resolvers (one per line)")
@@ -204,9 +207,17 @@ def main(argv=None) -> int:
                 match_codes=cfg.match_codes, exclude_codes=cfg.exclude_codes,
             ).alias("line")
         ).collect()
+    count = 0
     for r in lines:
         if r["line"]:
-            print(r["line"])
+            if args.progress and not args.jsonl:
+                # running counter prefixed to console rows, counting only
+                # rows that render (reference cli.py:166-180: count
+                # increments per formatted line, jsonl mode bypasses it)
+                count += 1
+                print(f"[{count}] {r['line']}", flush=True)
+            else:
+                print(r["line"])
     return 0
 
 

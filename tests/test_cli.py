@@ -58,6 +58,13 @@ def test_cli_end_to_end_console_and_jsonl(spark, tmp_path, capsys):
     assert len(out) >= 1  # error rows hidden without -d
     assert all("[" in ln for ln in out)  # status segment rendered
 
+    # -p: running 1-based counter prefixed to each rendered console row
+    # (reference cli.py:82,166-180); jsonl mode bypasses it
+    rc = cli.main([str(seeds), "-sc", "-ti", "-p", "--partitions", "4"])
+    assert rc == 0
+    plines = capsys.readouterr().out.strip().splitlines()
+    assert plines == [f"[{i}] {ln}" for i, ln in enumerate(out, start=1)]
+
     rc = cli.main([str(seeds), "-all", "-j", "--partitions", "4"])
     assert rc == 0
     import json

@@ -504,6 +504,39 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(fps[1]) < n_grams / 2
 
 
+def test_winnow_fingerprints_bounded_on_large_docs(spark):
+    """max_chars caps the per-row working set: a 1 MiB document produces at
+    most ~max_chars fingerprints (prefix semantics), identical to
+    fingerprinting the explicit prefix; and the default cap is a no-op for
+    engine-sized (≤1 KiB) texts."""
+    import random
+
+    rng = random.Random(7)
+    big = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 9)))
+        for _ in range(200_000)
+    )  # ~1.2 MiB
+    assert len(big) > 1_000_000
+    docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    capped = docs.select(
+        F.size(TS.winnow_fingerprints(F.col("text"), max_chars=4096)).alias("n"),
+        TS.winnow_fingerprints(F.col("text"), max_chars=4096).alias("fps"),
+        TS.winnow_fingerprints(F.substring(F.col("text"), 1, 4096)).alias("prefix_fps"),
+    ).collect()[0]
+    assert 0 < capped["n"] <= 4096
+    assert capped["fps"] == capped["prefix_fps"]
+
+    small = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 10)],
+        "doc_id long, text string",
+    )
+    row = small.select(
+        TS.winnow_fingerprints(F.col("text")).alias("d"),
+        TS.winnow_fingerprints(F.col("text"), max_chars=None).alias("u"),
+    ).collect()[0]
+    assert row["d"] == row["u"]
+
+
 def test_payload_validation_invariant(spark):
     """North-star per-row invariant as a distributed stage: every
     successfully fetched payload validates (PSNR>=40dB, caption in body,
