@@ -292,9 +292,9 @@ def connected_components(
     lineage — the standard Spark pattern for fixpoint algorithms.  Rounds
     needed = graph diameter; near-dup clusters are near-cliques (diameter
     2-3), so this converges in a handful of rounds.  For adversarial
-    long-chain graphs at 10^10 edges, the two-phase large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce") drops
-    rounds to O(log n) — same join shapes, slot-in upgrade.
+    long-chain graphs at 10^10 edges use
+    :func:`connected_components_star` — O(log n) rounds, same join shapes,
+    identical output (property-tested against this one).
 
     Deterministic: min over ids, no tie ambiguity.  Raises RuntimeError if
     the fixpoint is not reached within ``max_iter`` (never silently wrong).
@@ -338,14 +338,119 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """``(id, comp)`` labels via the two-phase **large-star / small-star**
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round alternative to
+    :func:`connected_components` for graphs whose DIAMETER is large
+    (adversarial chains at 10^10 edges), where min-label propagation would
+    need O(diameter) rounds.
+
+    Per round, each phase is one groupBy (per-node min neighbor) + one
+    equi-join — the same shuffle shapes as min-label, just two of them:
+
+    * large-star: for every node u, connect each STRICTLY LARGER neighbor
+      to m(u) = min(N(u) ∪ {u}) — computed over the symmetrized edge list.
+    * small-star: on the now u>v-directed edges, connect u and each of its
+      (smaller) neighbors to u's minimum neighbor.
+
+    Both phases preserve connectivity and never raise a node's potential;
+    at the fixpoint the edges form stars centered at component minima, so
+    the labels fall straight out of the edge list.  Convergence is detected
+    EXACTLY (count + left_anti vs the previous round — never a hash
+    signature that could collide), and RuntimeError is raised if the
+    fixpoint is not reached in ``max_iter`` rounds (never silently wrong).
+    ``stats``, when given, receives ``{"rounds": n}`` for observability.
+
+    Nodes appearing only in self-pairs (a == b) are their own component.
+    Output is identical to :func:`connected_components` by construction
+    (property-tested against it and a union-find oracle on chain / star /
+    clique / random graphs)."""
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        pairs.select(F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        rounds += 1
+        # large-star over the symmetrized list; output is u>v-directed
+        # (v=m(u) <= u < emitted partner) and deduplicated
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the directed edges: every node of u's closed
+        # smaller-neighborhood links to u's min neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(mins2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        unchanged = (
+            n_new == n_edges
+            and small.join(e, ["u", "v"], "left_anti").isEmpty()
+        )
+        e, n_edges = small, n_new
+        if unchanged:
+            if stats is not None:
+                stats["rounds"] = rounds
+            star_map = e.select(F.col("u").alias("id"), F.col("v").alias("_c"))
+            return nodes.join(star_map, "id", "left").select(
+                "id", F.coalesce(F.col("_c"), F.col("id")).alias("comp")
+            )
+    if n_edges == 0:  # only self-pairs in the input
+        if stats is not None:
+            stats["rounds"] = rounds
+        return nodes.select("id", F.col("id").alias("comp"))
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(id, canonical) for every id that appears in a duplicate pair —
     ``canonical`` is the cluster's minimum id (the row a pipeline KEEPS;
     all others drop).  Ids in no pair are implicitly their own canonical
-    and are not emitted."""
-    return connected_components(pairs, a_col, b_col).select(
+    and are not emitted.
+
+    ``algorithm``: ``"minlabel"`` (default — near-dup graphs are
+    near-cliques, diameter 2-3, so min-label converges in a handful of
+    single-join rounds) or ``"star"`` (:func:`connected_components_star` —
+    O(log n) rounds, two joins each; choose it when the pair graph may
+    contain long chains).  Identical output either way."""
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    return cc(pairs, a_col, b_col).select(
         "id", F.col("comp").alias("canonical")
     )
 

@@ -154,11 +154,55 @@ ADVERSARIAL = [
     '<script>x</script foo></script><a href="/z">',
     '<style>a{}</ STYLE >tail<a href="/y">y</a>',
     '<script>a</scriptz></script z></script><a href="/w">w</a>',
+    # round-3 stretch: close-tags-with-attributes, spaced variants, and
+    # CDATA-lookalike nesting
+    '<script>x</script foo="</script>"></script><a href="/q">q</a>',
+    '<script>x</  script><a href="/y">',
+    '<script>x</\nscript\n><a href="/y">',
+    '<script>x</scr ipt></script><a href="/y">',
+    '<script>var s = "</scrip" + "t>";</script><title>after</title>',
+    '<script><script>inner</script><a href="/y">',   # no CDATA nesting
+    '<script>/* </style> */</script><style>b{}</style><title>t</title>',
+    '<style><!-- </style --></style><a href="/y">y</a>',
+    '<script src="/x.js"/></script><title>selfclose script</title>',
+    '<title>t1<script></title></script>t2</title>',
+    '<noscript><script>x</script></noscript><a href="/y">y</a>',
+    '<script>x</SCRIPT><a href="/u">u</a>',
+    '<script>x</ScRiPt ><a href="/u">u</a>',
+    '<script>"</s" + "cript>"</script' + " \t\n" + '><a href="/v">v</a>',
+    '<script></script x</script><a href="/w">w</a>',
+    '<style>@import "</style>";</style><link rel="icon" href="/i.ico">',
 ]
 
 
 def test_fast_parser_equivalent_on_adversarial_inputs():
     for html in ADVERSARIAL:
+        _assert_equivalent(html)
+
+
+def test_fast_parser_equivalent_on_seeded_fuzz_corpus():
+    """Deterministic fragment-shuffle fuzzer: a few hundred documents built
+    from the pieces that stress the CDATA fast path (close-tag variants,
+    attribute quoting, nesting lookalikes) must all parse identically to
+    the HTMLParser reference model."""
+    import random
+
+    frags = [
+        "<title>t{i}</title>", "<script>var a{i} = '<x>';", "</script>",
+        "</script {i}>", "</ script>", "</script\t>", "</scripts>",
+        "<style>.c{i}{{color:red}}", "</style>", "</ STYLE >",
+        '<a href="/p{i}">l</a>', "<a href=/u{i}>u</a>", "plain {i} text",
+        '<link rel="icon" href="/f{i}.ico">', "<noscript>n{i}</noscript>",
+        "<!-- c{i} -->", "<b attr='v>{i}'>g</b>", "<br/>", "&amp; ent",
+        "a < {i} b", "</title>", "<title>open{i}",
+    ]
+    rng = random.Random(4242)
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        html = "".join(
+            rng.choice(frags).replace("{i}", str(rng.randint(0, 9)))
+            for _ in range(n)
+        )
         _assert_equivalent(html)
 
 

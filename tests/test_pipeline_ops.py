@@ -426,6 +426,81 @@ def test_connected_components(spark):
     assert got == want
 
 
+def _unionfind_components(edges):
+    """Oracle: min-root union-find over the edge list -> {node: min-of-component}."""
+    nodes = sorted({v for e in edges for v in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_star_matches_minlabel_and_oracle(spark):
+    """large-star/small-star vs min-label vs union-find on adversarial
+    shapes: chain, star, two cliques + bridge, random.  Also the log-round
+    bound: a 1,000-node chain (diameter 999 — min-label territory it can't
+    reach in 25 rounds) must converge in O(log n) star rounds."""
+    import random
+
+    shapes = {
+        "chain30": [(i, i + 1) for i in range(30)],
+        "star": [(50, i) for i in range(51, 70)],
+        "two_cliques_bridge": (
+            [(a, b) for a in range(5) for b in range(a + 1, 5)]
+            + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+            + [(4, 100)]
+        ),
+        "self_pairs_only": [(7, 7), (9, 9)],
+        "random": [
+            (a, b)
+            for a, b in sorted({(random.Random(11).randrange(80),
+                                 random.Random(13).randrange(80))})
+        ],
+    }
+    rng = random.Random(23)
+    shapes["random"] = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    for name, edges in shapes.items():
+        pdf = spark.createDataFrame(edges, "a long, b long")
+        want = _unionfind_components(edges)
+        star = {r["id"]: r["comp"]
+                for r in D.connected_components_star(pdf).collect()}
+        assert star == want, name
+        if name != "chain30":  # min-label needs diameter rounds; cap at 25
+            minl = {r["id"]: r["comp"]
+                    for r in D.connected_components(pdf).collect()}
+            assert minl == want, name
+
+    # 1,000-node chain: star rounds must be logarithmic, not O(diameter)
+    chain = [(i, i + 1) for i in range(999)]
+    pdf = spark.createDataFrame(chain, "a long, b long")
+    stats = {}
+    got = {r["id"]: r["comp"]
+           for r in D.connected_components_star(pdf, stats=stats).collect()}
+    assert got == {i: 0 for i in range(1000)}
+    import math
+
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(1000)) + 4, stats
+
+
+def test_dedup_clusters_star_algorithm_identical(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "a long, b long"
+    )
+    minl = {r["id"]: r["canonical"] for r in D.dedup_clusters(pairs).collect()}
+    star = {r["id"]: r["canonical"]
+            for r in D.dedup_clusters(pairs, algorithm="star").collect()}
+    assert minl == star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_trained_quantizer_deterministic_and_better(spark, emb):
     """train_centroids: (a) bit-identical across runs (driver-side numpy,
     fixed operand order); (b) lower mean quantization error (1 - cos to
