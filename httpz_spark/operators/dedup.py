@@ -59,14 +59,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) word-k-grams of the normalized text — the shared
-    substrate for minhash and exact jaccard."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    n = F.size(words)
-    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingles = F.when(
-        n >= k,
-        F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    substrate for minhash and exact jaccard.
+
+    The word array is let-bound through a 1-element-array ``transform``:
+    Catalyst does no common-subexpression elimination across lambda
+    boundaries, so referencing the raw ``split(normalize(lower(text)))``
+    subtree inside the per-shingle lambda would re-run the normalize regex
+    once per SHINGLE — measured 1.6x slower on this exact explode at
+    sf0.1's ~50-word docs, and the factor grows with words-per-doc (the
+    same bug class cost winnow_fingerprints ~700x)."""
+    words_expr = F.split(normalized_text(F.col(text_col)), " ")
+
+    def _shingles_of(words):
+        n = F.size(words)
+        idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    shingles = F.element_at(F.transform(F.array(words_expr), _shingles_of), 1)
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
