@@ -448,23 +448,34 @@ def connected_components_star(
 
 def dedup_clusters(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b",
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id, canonical) for every id that appears in a duplicate pair —
     ``canonical`` is the cluster's minimum id (the row a pipeline KEEPS;
     all others drop).  Ids in no pair are implicitly their own canonical
     and are not emitted.
 
-    ``algorithm``: ``"minlabel"`` (default — near-dup graphs are
-    near-cliques, diameter 2-3, so min-label converges in a handful of
-    single-join rounds) or ``"star"`` (:func:`connected_components_star` —
-    O(log n) rounds, two joins each; choose it when the pair graph may
-    contain long chains).  Identical output either way."""
-    cc = (connected_components_star if algorithm == "star"
-          else connected_components)
-    return cc(pairs, a_col, b_col).select(
-        "id", F.col("comp").alias("canonical")
-    )
+    ``algorithm``:
+
+    * ``"auto"`` (default) — min-label first (near-dup graphs are
+      near-cliques, diameter 2-3: a handful of single-join rounds), and on
+      non-convergence fall back to the O(log n) star algorithm instead of
+      raising.  Long-chain pair graphs (transitive near-dup chains in a
+      giant corpus) now always complete.
+    * ``"minlabel"`` / ``"star"`` — force one
+      (:func:`connected_components` / :func:`connected_components_star`).
+
+    Identical output on every path (property-tested)."""
+    if algorithm == "auto":
+        try:
+            cc = connected_components(pairs, a_col, b_col)
+        except RuntimeError:
+            cc = connected_components_star(pairs, a_col, b_col)
+    else:
+        f = (connected_components_star if algorithm == "star"
+             else connected_components)
+        cc = f(pairs, a_col, b_col)
+    return cc.select("id", F.col("comp").alias("canonical"))
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

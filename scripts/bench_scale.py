@@ -24,6 +24,7 @@ Replica construction (replica 0 is the original data verbatim):
 Usage::
 
     python scripts/bench_scale.py [N] [--write]   # --write appends to BENCH/BASELINE.md
+    python scripts/bench_scale.py 100 --queries ngram_jaccard_dups,minhash_lsh_dups --write
 """
 
 from __future__ import annotations
@@ -64,12 +65,13 @@ def build_scale_data(spark, n: int, out_dir: str) -> None:
             "lang", "source", "n_chars",
         ))
         dim = F.size("embedding")
+        shift = F.pmod(F.lit(r), dim)  # r can exceed dim at large N
         emb_parts.append(embs.select(
             (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
-            F.concat(
-                F.slice("embedding", r + 1, dim - r),
-                F.slice("embedding", 1, r),
-            ).alias("embedding"),
+            F.when(shift == 0, F.col("embedding")).otherwise(F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            )).alias("embedding"),
             "label",
         ))
     out_docs = doc_parts[0]
@@ -87,6 +89,10 @@ def build_scale_data(spark, n: int, out_dir: str) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     write = "--write" in sys.argv
+    queries = QUERIES
+    if "--queries" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        queries = [q for q in QUERIES if q in wanted]
     out_dir = os.path.join(REPO, "benchdata", f"x{n}")
 
     from httpz_spark.session import get_spark
@@ -109,7 +115,7 @@ def main() -> None:
 
     qs = E.queries()
     results = {}
-    for name in QUERIES:
+    for name in queries:
         row = {}
         for label, sf in (("x1", SF_DIR), (f"x{n}", out_dir)):
             t0 = time.time()

@@ -495,10 +495,28 @@ def test_dedup_clusters_star_algorithm_identical(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "a long, b long"
     )
-    minl = {r["id"]: r["canonical"] for r in D.dedup_clusters(pairs).collect()}
+    minl = {r["id"]: r["canonical"]
+            for r in D.dedup_clusters(pairs, algorithm="minlabel").collect()}
     star = {r["id"]: r["canonical"]
             for r in D.dedup_clusters(pairs, algorithm="star").collect()}
-    assert minl == star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    auto = {r["id"]: r["canonical"] for r in D.dedup_clusters(pairs).collect()}
+    assert minl == star == auto == {1: 1, 2: 1, 3: 1, 4: 1,
+                                    10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_auto_falls_back_on_long_chains(spark):
+    """algorithm='auto': a 200-node chain exceeds min-label's round cap, and
+    the star fallback must complete it instead of raising."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    got = {r["id"]: r["canonical"] for r in D.dedup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(200)}
+    # forcing minlabel on the same graph raises — the failure mode auto removes
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        D.dedup_clusters(chain, algorithm="minlabel").collect()
 
 
 def test_trained_quantizer_deterministic_and_better(spark, emb):
