@@ -490,6 +490,28 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_robots_table(spark, sf_dir):
+    # robots.txt fetch-and-parse politeness-table builder (north_rule
+    # "robots budgets"): one fetch per fabric host through the transport
+    # seam, fully-native RFC-9309-subset parse, budget derived from the
+    # crawl delay.  Golden oracle = independent line-based python parser
+    # over the same fabric bodies + a model of the url_class failure
+    # matrix (scripts/make_goldens.py:golden_robots_table).
+    from httpz_spark.operators.robotsfetch import build_robots_table
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=256, n_hosts=48).with_certs()
+    hosts = spark.createDataFrame(
+        [(h,) for h in FB.all_hosts(world)], "host string"
+    )
+    out = build_robots_table(hosts, world, partitions=8)
+    return out.select(
+        "host", "crawl_delay_ms", "per_wave_budget",
+        F.array_join("disallow", ",").alias("disallow_csv"),
+        "fetch_status",
+    )
+
+
 def _shipped(fn):
     def wrapper(spark, sf_dir):
         _ensure_shipped(spark)
@@ -536,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _shipped(q_multimodal_decode),
         "frame_sample": _shipped(q_frame_sample),
         "payload_validation": _shipped(q_payload_validation),
+        "robots_table": _shipped(q_robots_table),
     }
 
 
@@ -565,6 +588,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_256": _golden_sql(
             "ivf_ann_topk_256", "query_id, neighbor_id, cos_sim, rank"),
         "winnow_fingerprints": _golden_sql("winnow_fingerprints", "doc_id, fp"),
+        "robots_table": _golden_sql(
+            "robots_table",
+            "host, crawl_delay_ms, per_wave_budget, disallow_csv, fetch_status"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

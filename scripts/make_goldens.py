@@ -742,6 +742,104 @@ def golden_payload_validation(psnr_min=40.0):
     }))
 
 
+# ---------------------------------------------------------------------------
+# robots_table — independent LINE-BASED RFC-9309-subset parser (vs the
+# engine's regex-based native expressions) over the same fabric
+# /robots.txt bodies, plus a python model of the url_class failure matrix
+# deciding which hosts' robots fetches succeed
+# ---------------------------------------------------------------------------
+
+def _parse_robots_model(text: str, default_delay_ms: int = 1000):
+    """Record-structured parse: records = consecutive User-agent lines +
+    following rules; FIRST record containing '*' wins; single-token
+    Disallow values only; first Crawl-delay (numeric-to-EOL) wins — the
+    engine's documented subset, implemented line-by-line instead of by
+    regex so the golden is an independent cross-check."""
+    records = []
+    agents: list = []
+    rules: list = []
+    collecting = False
+    for raw in text.replace("\r", "").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        k, v = key.strip().lower(), val.strip()
+        if k == "user-agent":
+            if collecting:
+                records.append((agents, rules))
+                agents, rules, collecting = [], [], False
+            agents.append(v)
+        elif k in ("disallow", "crawl-delay"):
+            collecting = True
+            rules.append((k, v))
+    if agents or rules:
+        records.append((agents, rules))
+    delay_ms, disallow = default_delay_ms, []
+    for rec_agents, rec_rules in records:
+        if "*" not in rec_agents:
+            continue
+        got_delay = False
+        for k, v in rec_rules:
+            toks = v.split()
+            if k == "disallow" and len(toks) == 1:
+                disallow.append(toks[0])
+            elif k == "crawl-delay" and not got_delay and len(toks) == 1:
+                try:
+                    delay_ms = int(round(float(toks[0]) * 1000))
+                    got_delay = True
+                except ValueError:
+                    pass
+        break
+    return delay_ms, disallow
+
+
+def golden_robots_table():
+    from httpz_spark.sources.fabric import (
+        FabricConfig,
+        all_hosts,
+        h64,
+        robots_txt_bytes,
+    )
+
+    world = FabricConfig(n_images=256, n_hosts=48).with_certs()
+    default_ms, window_ms, max_budget = 1000, 10_000, 1000
+    rows = []
+    for host in all_hosts(world):
+        # fetch-outcome model (fabric url_class on /robots.txt, no retries,
+        # https->http fallback): m 4 (CONN both), 5 (first-attempt HTTP,
+        # and the robots fetch never retries), 10 (self-redirect loop)
+        # fail on both protocols; 8/9 return 404/500; everything else 200
+        # (TIMEOUT/CERT/SSL on https fall back to http successfully)
+        m = h64(f"{world.seed}:cls:{host}/robots.txt") % 100
+        if m in (4, 5, 10):
+            status = -1
+        elif m == 8:
+            status = 404
+        elif m == 9:
+            status = 500
+        else:
+            status = 200
+        if status == 200:
+            delay_ms, dis = _parse_robots_model(
+                robots_txt_bytes(host, world).decode("utf-8"), default_ms
+            )
+        else:
+            delay_ms, dis = default_ms, []
+        budget = min(max(int(window_ms / max(delay_ms, 1)), 1), max_budget)
+        rows.append((host, delay_ms, budget, ",".join(dis), status))
+    rows.sort()
+    write_golden("robots_table", pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "crawl_delay_ms": pa.array([r[1] for r in rows], pa.int32()),
+        "per_wave_budget": pa.array([r[2] for r in rows], pa.int32()),
+        "disallow_csv": pa.array([r[3] for r in rows], pa.string()),
+        "fetch_status": pa.array([r[4] for r in rows], pa.int32()),
+    }))
+
+
 GOLDENS = {
     "minhash_lsh_dups": golden_minhash,
     "simhash_near_dups": golden_simhash,
@@ -755,6 +853,7 @@ GOLDENS = {
     "crawl_single_wave": golden_crawl_single_wave,
     "frontier_crawl": golden_frontier_crawl,
     "multimodal_decode": golden_multimodal_decode,
+    "robots_table": golden_robots_table,
 }
 
 
