@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                          "deployment replaces the fabric transport with aiohttp)")
     ap.add_argument("--n-hosts", type=int, default=64)
     ap.add_argument("--match-codes", default=None, help="e.g. 200,301-399")
+    ap.add_argument("--fetch-robots", action="store_true",
+                    help="build the politeness table by fetching and "
+                         "parsing each host's /robots.txt (production "
+                         "path) instead of the synthetic robots table")
     args = ap.parse_args(argv)
 
     from httpz_spark.config import EngineConfig, ScanConfig
@@ -60,11 +64,26 @@ def main(argv=None) -> int:
         partitions=args.partitions, per_host_budget=args.budget, max_depth=args.depth
     )
 
+    if args.fetch_robots:
+        from httpz_spark.operators.robotsfetch import build_robots_table
+
+        hosts = spark.createDataFrame(
+            [(h,) for h in FB.all_hosts(world)], "host string"
+        )
+        robots = build_robots_table(
+            hosts, world, partitions=args.partitions
+        ).drop("fetch_status")
+        n_robots = robots.count()
+        print(f"robots table built from /robots.txt fetches: {n_robots} hosts",
+              file=sys.stderr)
+    else:
+        robots = S.robots_df(spark, world)
+
     eng = CrawlEngine(
         spark,
         S.images_df(spark, world, partitions=args.partitions),
         S.dns_df(spark, world),
-        S.robots_df(spark, world),
+        robots,
         scan_cfg, engine_cfg, world, state_dir=args.state,
     )
     eng.init_frontier(seeds_from_text(spark, args.seeds))
