@@ -490,6 +490,24 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    # product-quantization ANN (Jegou et al. TPAMI'11): compressed-domain
+    # top-k via ADC lookup tables over per-subspace codes.  Fixed
+    # deterministic codebooks (IVF-literal-path convention); the golden is
+    # an independent pure-python encode+ADC with identical accumulation
+    # order (scripts/make_goldens.py:golden_pq_ann_topk).
+    from httpz_spark.operators.similarity import pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(e, queries, k=3, m=8, kc=16).select(
+        "query_id", "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"), "rank",
+    )
+
+
 def q_robots_table(spark, sf_dir):
     # robots.txt fetch-and-parse politeness-table builder (north_rule
     # "robots budgets"): one fetch per fabric host through the transport
@@ -559,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _shipped(q_frame_sample),
         "payload_validation": _shipped(q_payload_validation),
         "robots_table": _shipped(q_robots_table),
+        "pq_ann_topk": _shipped(q_pq_ann_topk),
     }
 
 
@@ -591,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_table": _golden_sql(
             "robots_table",
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, fetch_status"),
+        "pq_ann_topk": _golden_sql(
+            "pq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

@@ -337,3 +337,199 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the compressed-domain scale path
+# (Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011: split each vector into m subvectors, vector-quantize each
+# subspace with a kc-entry codebook, score queries against the CODES via
+# per-subspace lookup tables — asymmetric distance computation).
+#
+# Why it matters at 100 TB: a 64-dim float32 embedding is 256 bytes; its
+# PQ code (m=8, kc=16) is 8 SMALL INTS — the whole corpus index fits in a
+# fraction of the memory/IO, and a scan of the codes does m table lookups
+# + adds per row instead of d multiplies.  IVF composes on top (this
+# module's ivf_ann_topk provides the coarse stage) exactly as in FAISS's
+# IVFPQ.
+#
+# Determinism discipline (the golden-oracle requirement): encoding
+# accumulates distances dim-by-dim in explicit order (numpy elementwise
+# ops == the same IEEE sequence as a scalar loop), the ADC lookup tables
+# are built on the DRIVER in pure-python float arithmetic, and executor
+# scoring gathers + adds them in fixed subspace order — so an independent
+# pure-python reimplementation reproduces every bit (argmin ties -> first
+# index on both paths).
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_fixed(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 8,
+                       kc: int = 16) -> list:
+    """Deterministic untrained codebooks: the subvectors of the ``kc``
+    smallest-id embeddings (the same fixed-quantizer convention as the IVF
+    literal path — reproducible with zero float-order concerns)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(kc).collect()
+    vecs = [list(map(float, r[vec_col])) for r in rows]
+    sub = len(vecs[0]) // m
+    return [[v[mi * sub:(mi + 1) * sub] for v in vecs] for mi in range(m)]
+
+
+def train_pq_codebooks(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 8, kc: int = 16,
+                       sample_per_code: int = 32, iters: int = 10,
+                       seed: int = 42) -> list:
+    """Per-subspace L2 k-means codebooks on a bounded deterministic sample
+    (same sampling/driver-numpy discipline as :func:`train_centroids`;
+    plain L2 k-means because PQ quantizes subvectors, not directions)."""
+    n_sample = kc * sample_per_code
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    sub = d // m
+    books = []
+    rng = np.random.Generator(np.random.PCG64(seed))
+    for mi in range(m):
+        S = X[:, mi * sub:(mi + 1) * sub]
+        C = S[rng.choice(len(S), size=min(kc, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for j in range(len(C)):
+                pts = S[assign == j]
+                if len(pts):
+                    newC[j] = pts.mean(axis=0)
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books.append([list(map(float, c)) for c in C])
+    return books
+
+
+def _pq_encode_rows(X: "np.ndarray", codebooks: list) -> "np.ndarray":
+    """codes[n, m] — argmin L2 per subspace, distances accumulated
+    dim-by-dim in explicit order (bit-reproducible by a scalar loop)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    n = X.shape[0]
+    codes = np.zeros((n, m), dtype=np.int32)
+    for mi in range(m):
+        kc = len(codebooks[mi])
+        dists = np.empty((n, kc), dtype=np.float64)
+        for ki in range(kc):
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(sub):
+                diff = X[:, mi * sub + j] - codebooks[mi][ki][j]
+                acc = acc + diff * diff
+            dists[:, ki] = acc
+        codes[:, mi] = np.argmin(dists, axis=1)  # first-min, like scalar <
+    return codes
+
+
+def pq_encode(corpus: DataFrame, codebooks: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — one Arrow-batched numpy pass, codebooks in
+    the closure (no shuffle, no join)."""
+    import pandas as pd
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = _pq_encode_rows(X, codebooks)
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "codes": [list(map(int, c)) for c in codes],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema="id long, codes array<int>"
+    ).withColumnRenamed("id", id_col)
+
+
+def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                m: int = 8, kc: int = 16, codebooks: list | None = None,
+                train: bool = False, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k per query by ADC over PQ codes.
+
+    ``approx_cos`` estimates cosine as ``ip(q, x̂) / (|q|·|x̂|)`` where x̂
+    is the code's reconstruction; ``|x̂|²`` is the sum of per-subspace
+    centroid norms (subspaces are an orthogonal decomposition).  Lookup
+    tables are built per query on the driver (queries are the bounded
+    broadcast set, as in the other top-k operators) in pure-python float
+    order; executors do m gathers + adds per row — no per-row vector math,
+    no shuffle before the final tiny per-query top-k."""
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
+                     if train else
+                     pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    # per-code squared norms, pure-python sequential order
+    normsq = [
+        [sum(c[j] * c[j] for j in range(sub)) for c in codebooks[mi]]
+        for mi in range(m)
+    ]
+    qrows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    luts = []  # (query_id, qnorm, ip[mi][ki])
+    for r in qrows:
+        qv = list(map(float, r[vec_col]))
+        qnorm = 0.0
+        for x in qv:
+            qnorm += x * x
+        qnorm = qnorm ** 0.5
+        ip = [
+            [sum(qv[mi * sub + j] * c[j] for j in range(sub))
+             for c in codebooks[mi]]
+            for mi in range(m)
+        ]
+        luts.append((int(r[query_id_col]), qnorm, ip))
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def score(batches):
+        np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
+        np_luts = [(qid, qn, [np.asarray(t, dtype=np.float64) for t in ip])
+                   for qid, qn, ip in luts]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray([list(c) for c in pdf["codes"]], dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            nsum = np_normsq[0][C[:, 0]]
+            for mi in range(1, m):
+                nsum = nsum + np_normsq[mi][C[:, mi]]
+            rnorm = np.sqrt(nsum)
+            out_q, out_id, out_s = [], [], []
+            for qid, qn, ip in np_luts:
+                s = ip[0][C[:, 0]]
+                for mi in range(1, m):
+                    s = s + ip[mi][C[:, mi]]
+                s = s / (qn * rnorm)
+                out_q.append(np.full(len(ids), qid, dtype=np.int64))
+                out_id.append(ids)
+                out_s.append(s)
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_id),
+                "approx_cos": np.concatenate(out_s),
+            })
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

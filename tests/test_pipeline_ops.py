@@ -519,6 +519,65 @@ def test_dedup_clusters_auto_falls_back_on_long_chains(spark):
         D.dedup_clusters(chain, algorithm="minlabel").collect()
 
 
+def test_pq_encode_shapes_and_determinism(spark, emb):
+    cb = SIM.pq_codebooks_fixed(emb, m=8, kc=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in SIM.pq_encode(emb.limit(100), cb).collect()}
+    assert len(codes) == 100
+    for c in codes.values():
+        assert len(c) == 8 and all(0 <= x < 16 for x in c)
+    codes2 = {r["vec_id"]: list(r["codes"])
+              for r in SIM.pq_encode(emb.limit(100), cb).collect()}
+    assert codes == codes2
+
+
+def test_pq_ann_recall_vs_exact(spark, emb):
+    """ADC over PQ codes must recover a solid fraction of the exact top-k
+    at the standard 8-bit-per-subspace geometry (kc=256 — FAISS's PQ
+    default; tiny codebooks like kc=16 are 4-bit PQ and legitimately trade
+    much more recall, measured ~0.4 here)."""
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in SIM.cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq = {}
+    for r in SIM.pq_ann_topk(emb, queries, k=5, m=8, kc=256).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & pq[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.55, (hits, total)
+    # the self-match (query is in the corpus, cos=1) must always survive
+    # quantization into the returned neighborhood
+    for q in exact:
+        assert q in pq[q], q
+
+
+def test_pq_trained_codebooks_deterministic_and_better(spark, emb):
+    cb1 = SIM.train_pq_codebooks(emb, m=8, kc=16)
+    cb2 = SIM.train_pq_codebooks(emb, m=8, kc=16)
+    assert cb1 == cb2  # bit-for-bit
+    fixed = SIM.pq_codebooks_fixed(emb, m=8, kc=16)
+
+    X = np.asarray(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+
+    def qerr(cb):
+        codes = SIM._pq_encode_rows(X, cb)
+        err = 0.0
+        sub = len(cb[0][0])
+        for mi in range(len(cb)):
+            C = np.asarray(cb[mi])
+            err += ((X[:, mi * sub:(mi + 1) * sub] - C[codes[:, mi]]) ** 2).sum()
+        return err
+
+    assert qerr(cb1) < qerr(fixed)  # training is the point
+
+
 def test_trained_quantizer_deterministic_and_better(spark, emb):
     """train_centroids: (a) bit-identical across runs (driver-side numpy,
     fixed operand order); (b) lower mean quantization error (1 - cos to
