@@ -508,6 +508,23 @@ def q_pq_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_ann_topk(spark, sf_dir):
+    # FAISS-IVFPQ composition: coarse IVF pruning + ADC over PQ codes
+    # within the probed cells only (golden: the ivf probe model composed
+    # with the pure-python PQ encode+ADC, identical accumulation order).
+    from httpz_spark.operators.similarity import ivfpq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(e, queries, k=3, n_centroids=16, nprobe=4,
+                          m=8, kc=16).select(
+        "query_id", "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"), "rank",
+    )
+
+
 def q_robots_table(spark, sf_dir):
     # robots.txt fetch-and-parse politeness-table builder (north_rule
     # "robots budgets"): one fetch per fabric host through the transport
@@ -578,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validation": _shipped(q_payload_validation),
         "robots_table": _shipped(q_robots_table),
         "pq_ann_topk": _shipped(q_pq_ann_topk),
+        "ivfpq_ann_topk": _shipped(q_ivfpq_ann_topk),
     }
 
 
@@ -612,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, fetch_status"),
         "pq_ann_topk": _golden_sql(
             "pq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
+        "ivfpq_ann_topk": _golden_sql(
+            "ivfpq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

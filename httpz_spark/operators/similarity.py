@@ -533,3 +533,118 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         F.col("approx_cos").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _seq_cos(a, b) -> float:
+    import math
+
+    return _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+
+
+def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   n_centroids: int = 16, nprobe: int = 4, m: int = 8,
+                   kc: int = 16, centroids: list | None = None,
+                   codebooks: list | None = None, train: bool = False,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """FAISS-IVFPQ composition: the coarse quantizer prunes the corpus to
+    each query's ``nprobe`` nearest cells, and ADC over PQ codes scores
+    ONLY those candidates — the two approximations multiply, and so do the
+    savings: ~nprobe/n_centroids of the corpus is touched, at m lookups +
+    adds per touched row over 8-int codes.
+
+    Plan shape: corpus -> cell assignment (native or numpy batch, no
+    shuffle) + PQ encode (numpy batch, no shuffle) -> equi-join with the
+    broadcast (query_id, cell) probe pairs -> per-row LUT scoring keyed by
+    query_id -> tiny per-query top-k window.  The probe ranking runs on
+    the driver in sequential pure-python float order (queries are the
+    bounded broadcast set), keeping the whole operator bit-reproducible by
+    an independent scalar reimplementation."""
+    import pandas as pd
+
+    if centroids is None:
+        centroids = (train_centroids(corpus, n_centroids, id_col, vec_col)
+                     if train else
+                     _centroid_arrays(corpus, id_col, vec_col, n_centroids))
+    if codebooks is None:
+        codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
+                     if train else
+                     pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    cells = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    indexed = cells.select(id_col, "cell").join(codes, id_col)
+
+    normsq = [
+        [sum(c[j] * c[j] for j in range(sub)) for c in codebooks[mi]]
+        for mi in range(m)
+    ]
+    qrows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    probe_pairs = []
+    luts = {}
+    for r in qrows:
+        qid = int(r[query_id_col])
+        qv = list(map(float, r[vec_col]))
+        coss = [_seq_cos(qv, c) for c in centroids]
+        probed = [i for _, i in sorted((-c, i) for i, c in enumerate(coss))[:nprobe]]
+        probe_pairs.extend((qid, int(cell)) for cell in probed)
+        qn = 0.0
+        for x in qv:
+            qn += x * x
+        qn = qn ** 0.5
+        ip = [
+            [sum(qv[mi * sub + j] * c[j] for j in range(sub))
+             for c in codebooks[mi]]
+            for mi in range(m)
+        ]
+        luts[qid] = (qn, ip)
+
+    spark = corpus.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+    cand = indexed.join(probe_df, "cell")
+
+    def score(batches):
+        np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
+        np_luts = {qid: (qn, [np.asarray(t, dtype=np.float64) for t in ip])
+                   for qid, (qn, ip) in luts.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray([list(c) for c in pdf["codes"]], dtype=np.int64)
+            qids = pdf["query_id"].to_numpy()
+            nsum = np_normsq[0][C[:, 0]]
+            for mi in range(1, m):
+                nsum = nsum + np_normsq[mi][C[:, mi]]
+            rnorm = np.sqrt(nsum)
+            out = np.empty(len(C), dtype=np.float64)
+            for qid in np.unique(qids):
+                mask = qids == qid
+                qn, ip = np_luts[int(qid)]
+                s = ip[0][C[mask, 0]]
+                for mi in range(1, m):
+                    s = s + ip[mi][C[mask, mi]]
+                out[mask] = s / (qn * rnorm[mask])
+            yield pd.DataFrame({
+                "query_id": qids,
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "approx_cos": out,
+            })
+
+    scored = cand.select("query_id", F.col(id_col), "codes").mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -809,6 +809,80 @@ def golden_pq_ann_topk(k=3, m=8, kc=16):
     }))
 
 
+def golden_ivfpq_ann_topk(k=3, n_centroids=16, nprobe=4, m=8, kc=16):
+    """IVFPQ = the ivf probe/cell model composed with the PQ encode+ADC
+    model — same accumulation orders as each standalone golden."""
+    emb = load_embeddings()
+    vecs = {vid: list(map(float, v)) for vid, v in emb}
+    ids_sorted = sorted(vecs)
+    cents = [vecs[vid] for vid in ids_sorted[:n_centroids]]
+
+    def cell_of(v):
+        coss = [seq_cos(v, c) for c in cents]
+        return coss.index(max(coss))
+
+    cells = {vid: cell_of(v) for vid, v in vecs.items()}
+
+    cb_vecs = [vecs[vid] for vid in ids_sorted[:kc]]
+    d = len(cb_vecs[0])
+    sub = d // m
+    books = [[v[mi * sub:(mi + 1) * sub] for v in cb_vecs] for mi in range(m)]
+
+    def encode(v):
+        codes = []
+        for mi in range(m):
+            best_k, best_d = 0, None
+            for ki in range(kc):
+                acc = 0.0
+                for j in range(sub):
+                    diff = v[mi * sub + j] - books[mi][ki][j]
+                    acc = acc + diff * diff
+                if best_d is None or acc < best_d:
+                    best_d, best_k = acc, ki
+            codes.append(best_k)
+        return codes
+
+    codes = {vid: encode(v) for vid, v in vecs.items()}
+    normsq = [
+        [sum(c[j] * c[j] for j in range(sub)) for c in books[mi]]
+        for mi in range(m)
+    ]
+    rows = []
+    for qid in [vid for vid in ids_sorted if vid < 8]:
+        qv = vecs[qid]
+        coss = [seq_cos(qv, c) for c in cents]
+        probe = set(i for _, i in sorted((-c, i) for i, c in enumerate(coss))[:nprobe])
+        qn = 0.0
+        for x in qv:
+            qn += x * x
+        qn = qn ** 0.5
+        ip = [
+            [sum(qv[mi * sub + j] * c[j] for j in range(sub))
+             for c in books[mi]]
+            for mi in range(m)
+        ]
+        scored = []
+        for vid, cd in codes.items():
+            if cells[vid] not in probe:
+                continue
+            nsum = normsq[0][cd[0]]
+            for mi in range(1, m):
+                nsum = nsum + normsq[mi][cd[mi]]
+            s = ip[0][cd[0]]
+            for mi in range(1, m):
+                s = s + ip[mi][cd[mi]]
+            scored.append((s / (qn * nsum ** 0.5), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, vid) in enumerate(scored[:k], start=1):
+            rows.append((qid, vid, spark_round(score), rank))
+    write_golden("ivfpq_ann_topk", pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+        "approx_cos": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # robots_table — independent LINE-BASED RFC-9309-subset parser (vs the
 # engine's regex-based native expressions) over the same fabric
@@ -922,6 +996,7 @@ GOLDENS = {
     "multimodal_decode": golden_multimodal_decode,
     "robots_table": golden_robots_table,
     "pq_ann_topk": golden_pq_ann_topk,
+    "ivfpq_ann_topk": golden_ivfpq_ann_topk,
 }
 
 

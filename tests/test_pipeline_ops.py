@@ -555,6 +555,31 @@ def test_pq_ann_recall_vs_exact(spark, emb):
         assert q in pq[q], q
 
 
+def test_ivfpq_composition(spark, emb):
+    """FAISS-IVFPQ shape: coarse pruning + ADC scoring compose — k ranked
+    rows per query, self-hit always survives (a query's own cell is its
+    top probe and its own code reconstruction dominates), and recall at
+    the 8-bit geometry stays a solid fraction of exact."""
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in SIM.cosine_topk(emb, queries, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    ranks = {}
+    for r in SIM.ivfpq_ann_topk(emb, queries, k=3, n_centroids=16,
+                                nprobe=4, m=8, kc=256).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(got) == set(exact)
+    for q in got:
+        assert sorted(ranks[q]) == [1, 2, 3]
+        assert q in got[q], q  # self-hit
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    assert hits / sum(len(v) for v in exact.values()) >= 0.4, hits
+
+
 def test_pq_trained_codebooks_deterministic_and_better(spark, emb):
     cb1 = SIM.train_pq_codebooks(emb, m=8, kc=16)
     cb2 = SIM.train_pq_codebooks(emb, m=8, kc=16)
