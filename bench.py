@@ -164,7 +164,7 @@ def table_queries(spark) -> dict:
         "robots_broadcast_join", "sorted_distinct_agg", "exact_dedup",
         "text_stats", "ngram_jaccard_dups", "minhash_lsh_dups",
         "cosine_topk", "url_canonicalize", "shard_filter",
-        "training_shard", "winnow_fingerprints",
+        "training_shard", "winnow_fingerprints", "pq_ann_topk",
     ]
     qs = E.queries()
     times = {}

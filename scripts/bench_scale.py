@@ -43,7 +43,8 @@ QUERIES = [
     "exact_dedup", "text_stats", "lang_id", "winnow_fingerprints",
     "ngram_jaccard_dups", "minhash_lsh_dups", "simhash_near_dups",
     "dedup_clusters", "training_shard",
-    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "embedding_near_dups",
+    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfpq_ann_topk",
+    "embedding_near_dups",
 ]
 
 
