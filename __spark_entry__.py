@@ -490,6 +490,18 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    # substring-level near-dup pairs (Lee et al. ACL'22 substring-dedup
+    # signal, winnowing fingerprints): pairs sharing >= 50 fingerprints.
+    # Oracle: REAL SQL (join + groupBy + having) over the committed
+    # winnow-fingerprint golden as its input table — the fingerprint
+    # kernel itself is already hash-verified by ☆winnow_fingerprints.
+    from httpz_spark.operators.dedup import winnow_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_dup_pairs(d, min_common=50)
+
+
 def q_pq_ann_topk(spark, sf_dir):
     # product-quantization ANN (Jegou et al. TPAMI'11): compressed-domain
     # top-k via ADC lookup tables over per-subspace codes.  Fixed
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _shipped(q_frame_sample),
         "payload_validation": _shipped(q_payload_validation),
         "robots_table": _shipped(q_robots_table),
+        "winnow_dup_pairs": _shipped(q_winnow_dup_pairs),
         "pq_ann_topk": _shipped(q_pq_ann_topk),
         "ivfpq_ann_topk": _shipped(q_ivfpq_ann_topk),
     }
@@ -628,6 +641,14 @@ def oracle_sql() -> dict[str, str]:
         "robots_table": _golden_sql(
             "robots_table",
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, fetch_status"),
+        "winnow_dup_pairs": f"""
+            WITH fps AS (SELECT doc_id, fp
+                         FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),
+            rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+            f2 AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+            FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 50""",
         "pq_ann_topk": _golden_sql(
             "pq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
         "ivfpq_ann_topk": _golden_sql(

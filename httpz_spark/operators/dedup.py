@@ -262,6 +262,64 @@ def ngram_jaccard_pairs(
     return _finish_pairs(out, sh, owns and eager)
 
 
+def winnow_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, window: int = 4, min_common: int = 50,
+    max_df: int | None = 1000, max_chars: int | None = 8192,
+    eager: bool = True,
+) -> DataFrame:
+    """SUBSTRING-level near-dup pairs via shared winnowing fingerprints —
+    the word-shingle family (jaccard/minhash) measures whole-document set
+    overlap, while this catches documents sharing long VERBATIM spans
+    (quotes, boilerplate, copied passages) even when the rest differs: the
+    substring-dedup signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22), with winnowing
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03) as the fingerprint scheme.
+
+    ``(a, b, n_common)`` for pairs sharing at least ``min_common``
+    fingerprints; by the winnowing guarantee each shared fingerprint
+    witnesses a shared substring of length >= k + window - 1, so
+    ``n_common`` lower-bounds the amount of verbatim overlap.
+
+    ``max_df``: fingerprints appearing in more than ``max_df`` documents
+    (site boilerplate at corpus scale) are dropped from BOTH candidate
+    generation and counts — a fingerprint shared by d docs contributes
+    d²/2 join rows, and ubiquitous boilerplate is exactly what substring
+    dedup should ignore (documented semantics: overlap IN NON-BOILERPLATE
+    SPANS; set ``None`` for exhaustive counts).
+
+    Scale shape: explode -> (optional) df-filter equi-join -> candidate
+    equi self-join on fp -> count aggregation.  Same storage contract as
+    the other pair generators (eager barrier + cache release)."""
+    from httpz_spark.operators.textstats import winnow_fingerprints
+
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k, window, max_chars)
+        ).alias("fp"),
+    )
+    if eager:
+        fps = fps.persist()
+    use = fps
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        use = fps.join(rare, "fp")
+    a, b = use.alias("a"), use.alias("b")
+    out = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return _finish_pairs(out, fps, eager)
+
+
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
                    id_col: str, k: int, shingles: DataFrame | None = None) -> DataFrame:
     """Exact jaccard for given candidate (a,b) pairs via shingle joins.

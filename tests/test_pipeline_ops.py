@@ -681,6 +681,35 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(fps[1]) < n_grams / 2
 
 
+def test_winnow_dup_pairs_substring_semantics(spark):
+    """Pairs sharing a long verbatim passage are caught even when overall
+    shingle-set jaccard is low; disjoint docs produce no pair; the df cap
+    drops boilerplate fingerprints from candidates AND counts."""
+    passage = ("the exact copied paragraph that appears verbatim in two "
+               "otherwise completely different documents end")
+    rows = [
+        (1, f"unique alpha opening text here {passage} and an alpha ending"),
+        (2, f"beta prose with other words {passage} plus a beta closing"),
+        (3, "entirely unrelated gamma text with nothing shared at all zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["n_common"]
+           for r in D.winnow_dup_pairs(docs, min_common=5, max_df=None).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 5
+    assert all(p == (1, 2) for p in got)
+
+    # boilerplate present in EVERY doc is ignored under the df cap
+    boiler = "standard legal footer text repeated on every single page here"
+    rows2 = [(i, f"doc {i} body {'x%d y%d z%d ' % (i, i, i) * 5} {boiler}")
+             for i in range(1, 7)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    uncapped = {(r["a"], r["b"]) for r in
+                D.winnow_dup_pairs(docs2, min_common=3, max_df=None).collect()}
+    capped = {(r["a"], r["b"]) for r in
+              D.winnow_dup_pairs(docs2, min_common=3, max_df=3).collect()}
+    assert uncapped and not capped  # only the shared footer linked them
+
+
 def test_winnow_fingerprints_bounded_on_large_docs(spark):
     """max_chars caps the per-row working set: a 1 MiB document produces at
     most ~max_chars fingerprints (prefix semantics), identical to
