@@ -555,6 +555,7 @@ def q_robots_table(spark, sf_dir):
     return out.select(
         "host", "crawl_delay_ms", "per_wave_budget",
         F.array_join("disallow", ",").alias("disallow_csv"),
+        F.array_join("allow", ",").alias("allow_csv"),
         "fetch_status",
     )
 
@@ -640,7 +641,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _golden_sql("winnow_fingerprints", "doc_id, fp"),
         "robots_table": _golden_sql(
             "robots_table",
-            "host, crawl_delay_ms, per_wave_budget, disallow_csv, fetch_status"),
+            "host, crawl_delay_ms, per_wave_budget, disallow_csv, allow_csv, "
+            "fetch_status"),
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp
                          FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),

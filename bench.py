@@ -153,10 +153,19 @@ def crawl_workload(spark, cpus: int) -> dict:
     return out
 
 
-def table_queries(spark) -> dict:
+def _load1() -> float:
+    """1-minute load average — the ambient-tenancy bracket.  This host is a
+    shared VM whose steal swings minute to minute; BENCH_r04 was captured
+    in a loaded minute and manufactured a phantom +16-64% regression across
+    even untouched queries (round-4 verdict #1), so every gate number now
+    carries its own brackets."""
+    return round(os.getloadavg()[0], 2)
+
+
+def table_queries(spark) -> tuple:
     """Headline driver-table queries (the __spark_entry__ contract set that
     stresses distinct physical shapes: window, anti-join, broadcast-agg,
-    shingle-join, vector math)."""
+    shingle-join, vector math).  Returns (times, per-query load brackets)."""
     import __spark_entry__ as E
 
     names = [
@@ -167,26 +176,40 @@ def table_queries(spark) -> dict:
         "training_shard", "winnow_fingerprints", "pq_ann_topk",
     ]
     qs = E.queries()
-    times = {}
+    times, loads = {}, {}
     for name in names:
+        l0 = _load1()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-    return times
+        loads[name] = [l0, _load1()]
+    return times, loads
 
 
 def run_default() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    queries = {}
+    queries, qloads = {}, {}
+    load_start = _load1()
     t_all = time.time()
 
+    l0 = _load1()
     crawl = crawl_workload(spark, CPUS)
+    l1 = _load1()
     queries["crawl_fetch_wave"] = round(crawl["fetch_wave_sec"], 3)
     queries["frontier_dedup"] = round(crawl["dedup_sec"], 3)
-    queries.update(table_queries(spark))
+    qloads["crawl_fetch_wave"] = qloads["frontier_dedup"] = [l0, l1]
+    tq, tl = table_queries(spark)
+    queries.update(tq)
+    qloads.update(tl)
     total = round(time.time() - t_all, 3)
+    # same-minute machine ceiling (multiprocessing, no Spark): what this
+    # host could deliver for the fetch workload DURING this capture —
+    # lets a reader separate engine deltas from tenant load
+    # (the bench_ab_frontier discipline, adopted into the gate artifact)
+    spark.stop()
+    ceil = _level_ceiling(CPUS, per=1500)
 
     print(json.dumps({
         "metric": "httpz_spark headline suite (crawl wave + frontier dedup + contract queries)",
@@ -199,6 +222,16 @@ def run_default() -> None:
             "n_fetched": crawl["n_fetched"],
             "dedup_ops_per_sec": round(crawl["dedup_ops_per_sec"], 1),
             "cpus": CPUS,
+        },
+        "load": {
+            "load_1min_start": load_start,
+            "load_1min_end": _load1(),
+            "per_query_1min": qloads,
+            "post_suite_ceiling_urls_per_sec": round(ceil, 0),
+            "note": ("1-min load avg bracketing each query (shared-VM "
+                     "tenancy context); ceiling = same-workload "
+                     "multiprocessing throughput measured right after the "
+                     "suite on this host"),
         },
     }))
 

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from httpz_spark.functions.robotsx import robots_path_allowed, robots_rules
+
 
 def politeness_schedule(
     df: DataFrame,
@@ -49,21 +51,25 @@ def politeness_schedule(
     sort anywhere is ~1/pre_salt of the hottest host.
     """
     if robots is not None:
+        # RFC 9309 enforcement: patterns (prefix + '*'/'$' wildcards) are
+        # COMPILED on the tiny robots side before the broadcast (one struct
+        # array per host), so the per-frontier-row work is a short
+        # filter+array_max over pre-built rules — plain prefixes via
+        # startswith, wildcard rules via pre-translated anchored regexes;
+        # longest match wins, Allow wins ties (robotsx.robots_path_allowed)
+        allow_src = (
+            F.col("allow") if "allow" in robots.columns
+            else F.array().cast("array<string>")
+        )
         r = F.broadcast(
             robots.select(
                 F.col("host").alias("_rhost"),
                 F.col("per_wave_budget").alias("_budget"),
-                F.col("disallow").alias("_disallow"),
+                robots_rules(F.col("disallow"), allow_src).alias("_rules"),
             )
         )
         df = df.join(r, df[host_col] == F.col("_rhost"), "left").drop("_rhost")
-        df = df.filter(
-            F.col("_disallow").isNull()
-            | ~F.exists(
-                F.col("_disallow"),
-                lambda p: F.col(path_col).startswith(p),
-            )
-        )
+        df = df.filter(robots_path_allowed(F.col(path_col), F.col("_rules")))
         budget = F.coalesce(F.col("_budget"), F.lit(default_budget))
     else:
         budget = F.lit(default_budget)
@@ -107,7 +113,7 @@ def politeness_schedule(
         w = Window.partitionBy(host_col).orderBy(*order)
         df = df.withColumn("sched_rank", F.row_number().over(w))
         df = df.withColumn("scheduled", F.col("sched_rank") <= budget)
-    return df.drop("_budget", "_disallow")
+    return df.drop("_budget", "_rules")
 
 
 def salted_repartition(

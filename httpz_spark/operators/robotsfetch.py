@@ -42,8 +42,13 @@ ROBOTS_FETCH_SCHEMA = "host string, fetch_status int, robots_txt string, error_t
 
 def _robots_row_gen(host: str):
     """Sans-IO state machine for one host's robots fetch: https first,
-    http fallback on any transport error (same generator contract as
-    ``scan_row_gen``, so both sync and batched-async drivers apply)."""
+    http fallback on any transport error OR any non-200 https status (a
+    cert-terminating frontend 404ing https must not mask a plain-http
+    robots.txt; ADVICE r04).  The first 200 body wins; if neither
+    protocol yields 200, the FIRST response's status is reported (same
+    generator contract as ``scan_row_gen``, so both sync and
+    batched-async drivers apply)."""
+    first_status = None
     last_error = None
     for proto in ("https", "http"):
         resp, err = yield (f"{proto}://{host}/robots.txt", proto, {
@@ -51,13 +56,18 @@ def _robots_row_gen(host: str):
             "method": "GET", "request_headers": None,
         })
         if err is None:
-            body = None
             if resp.status == 200:
                 raw = resp.body[:MAX_ROBOTS_BYTES]
                 body = raw.decode(resp.charset or "utf-8", errors="replace")
-            return {"fetch_status": resp.status, "robots_txt": body,
-                    "error_type": None}
-        last_error = err.error_type
+                return {"fetch_status": 200, "robots_txt": body,
+                        "error_type": None}
+            if first_status is None:
+                first_status = resp.status
+        else:
+            last_error = err.error_type
+    if first_status is not None:
+        return {"fetch_status": first_status, "robots_txt": None,
+                "error_type": None}
     return {"fetch_status": -1, "robots_txt": None, "error_type": last_error}
 
 
@@ -139,6 +149,9 @@ def robots_from_texts(fetched: DataFrame, default_delay_ms: int = 1000,
     disallow = F.when(
         F.col("fetch_status") == 200, parsed.getField("disallow")
     ).otherwise(F.array().cast("array<string>"))
+    allow = F.when(
+        F.col("fetch_status") == 200, parsed.getField("allow")
+    ).otherwise(F.array().cast("array<string>"))
     budget = F.least(
         F.greatest(
             F.floor(F.lit(wave_window_ms) / F.greatest(delay, F.lit(1)))
@@ -152,6 +165,7 @@ def robots_from_texts(fetched: DataFrame, default_delay_ms: int = 1000,
         delay.alias("crawl_delay_ms"),
         budget.alias("per_wave_budget"),
         disallow.alias("disallow"),
+        allow.alias("allow"),
         F.col("fetch_status"),
     )
 

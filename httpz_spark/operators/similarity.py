@@ -370,7 +370,10 @@ def pq_codebooks_fixed(corpus: DataFrame, id_col: str = "vec_id",
     literal path — reproducible with zero float-order concerns)."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(kc).collect()
     vecs = [list(map(float, r[vec_col])) for r in rows]
-    sub = len(vecs[0]) // m
+    d = len(vecs[0])
+    if d % m:  # silent truncation of d % m trailing dims skews approx_cos
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    sub = d // m
     return [[v[mi * sub:(mi + 1) * sub] for v in vecs] for mi in range(m)]
 
 
@@ -390,6 +393,8 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str = "vec_id",
     )
     X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     d = X.shape[1]
+    if d % m:  # misconfigured m must fail loudly, never skew approx_cos
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
     sub = d // m
     books = []
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -416,6 +421,10 @@ def _pq_encode_rows(X: "np.ndarray", codebooks: list) -> "np.ndarray":
     dim-by-dim in explicit order (bit-reproducible by a scalar loop)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    if X.shape[1] != m * sub:  # trailing-dim truncation must fail loudly
+        raise ValueError(
+            f"embedding dim {X.shape[1]} != m*sub = {m}*{sub} of the codebooks"
+        )
     n = X.shape[0]
     codes = np.zeros((n, m), dtype=np.int32)
     for mi in range(m):
@@ -485,6 +494,10 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     luts = []  # (query_id, qnorm, ip[mi][ki])
     for r in qrows:
         qv = list(map(float, r[vec_col]))
+        if len(qv) != m * sub:  # trailing-dim truncation must fail loudly
+            raise ValueError(
+                f"query dim {len(qv)} != m*sub = {m}*{sub} of the codebooks"
+            )
         qnorm = 0.0
         for x in qv:
             qnorm += x * x
@@ -594,6 +607,10 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     for r in qrows:
         qid = int(r[query_id_col])
         qv = list(map(float, r[vec_col]))
+        if len(qv) != m * sub:  # trailing-dim truncation must fail loudly
+            raise ValueError(
+                f"query dim {len(qv)} != m*sub = {m}*{sub} of the codebooks"
+            )
         coss = [_seq_cos(qv, c) for c in centroids]
         probed = [i for _, i in sorted((-c, i) for i, c in enumerate(coss))[:nprobe]]
         probe_pairs.extend((qid, int(cell)) for cell in probed)

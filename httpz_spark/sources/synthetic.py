@@ -76,20 +76,28 @@ def dns_df(spark: SparkSession, cfg: FB.FabricConfig) -> DataFrame:
 
 
 ROBOTS_SCHEMA = (
-    "host string, crawl_delay_ms int, per_wave_budget int, disallow array<string>"
+    "host string, crawl_delay_ms int, per_wave_budget int, "
+    "disallow array<string>, allow array<string>"
 )
 
 
 def robots_df(spark: SparkSession, cfg: FB.FabricConfig, unlimited: bool = False) -> DataFrame:
     """Synthetic robots/politeness table (north_rule requirement; the
     reference has no robots handling, so the parity harness passes
-    ``unlimited=True``)."""
+    ``unlimited=True``).  Mirrors ``fabric.robots_txt_bytes`` exactly,
+    including the RFC 9309 wildcard/Allow fixtures (which are no-ops
+    against fabric paths — see that docstring)."""
     rows = []
     for host in FB.all_hosts(cfg):
         hh = FB.h64(f"{cfg.seed}:robots:{host}")
         budget = 10**9 if unlimited else 2 + hh % 8
         disallow = [] if unlimited or hh % 5 else ["/r/"]
-        rows.append((host, 50 + hh % 200, budget, disallow))
+        allow = [] if unlimited or hh % 5 else ["/r/public/"]
+        if not unlimited and hh % 3 == 0:
+            disallow = disallow + ["/*.php$"]
+        if not unlimited and hh % 7 == 3:
+            allow = allow + ["/li/"]
+        rows.append((host, 50 + hh % 200, budget, disallow, allow))
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 

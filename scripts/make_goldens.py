@@ -481,6 +481,11 @@ def golden_frontier_crawl():
     robots = {}
     for host in FB.all_hosts(world):
         hh = FB.h64(f"{world.seed}:robots:{host}")
+        # prefix-only drop model stays EXACT: robots_df's extra RFC 9309
+        # wildcard/Allow fixtures ('/*.php$', '/r/public/', '/li/') are
+        # chosen to match no fabric path / carve nothing that's disallowed
+        # (fabric.robots_txt_bytes docstring), so the engine's
+        # longest-match enforcement reduces to this startswith model here
         robots[host] = (2 + hh % 8, [] if hh % 5 else ["/r/"])
 
     def frontier_row(url, depth, wave_id):
@@ -893,9 +898,11 @@ def golden_ivfpq_ann_topk(k=3, n_centroids=16, nprobe=4, m=8, kc=16):
 def _parse_robots_model(text: str, default_delay_ms: int = 1000):
     """Record-structured parse: records = consecutive User-agent lines +
     following rules; FIRST record containing '*' wins; single-token
-    Disallow values only; first Crawl-delay (numeric-to-EOL) wins — the
-    engine's documented subset, implemented line-by-line instead of by
-    regex so the golden is an independent cross-check."""
+    Disallow/Allow values only; first WELL-FORMED Crawl-delay
+    (strict decimal — '1.2.3' is malformed and skipped, matching the
+    engine's tightened [0-9]+(\\.[0-9]+)? + coalesce-to-default) wins —
+    the engine's documented subset, implemented line-by-line instead of
+    by regex so the golden is an independent cross-check."""
     records = []
     agents: list = []
     rules: list = []
@@ -913,12 +920,12 @@ def _parse_robots_model(text: str, default_delay_ms: int = 1000):
                 records.append((agents, rules))
                 agents, rules, collecting = [], [], False
             agents.append(v)
-        elif k in ("disallow", "crawl-delay"):
+        elif k in ("disallow", "allow", "crawl-delay"):
             collecting = True
             rules.append((k, v))
     if agents or rules:
         records.append((agents, rules))
-    delay_ms, disallow = default_delay_ms, []
+    delay_ms, disallow, allow = default_delay_ms, [], []
     for rec_agents, rec_rules in records:
         if "*" not in rec_agents:
             continue
@@ -927,14 +934,17 @@ def _parse_robots_model(text: str, default_delay_ms: int = 1000):
             toks = v.split()
             if k == "disallow" and len(toks) == 1:
                 disallow.append(toks[0])
+            elif k == "allow" and len(toks) == 1:
+                allow.append(toks[0])
             elif k == "crawl-delay" and not got_delay and len(toks) == 1:
-                try:
-                    delay_ms = int(round(float(toks[0]) * 1000))
+                tok = toks[0]
+                digits = tok.split(".")
+                if (1 <= len(digits) <= 2
+                        and all(d.isdigit() and d for d in digits)):
+                    delay_ms = int(round(float(tok) * 1000))
                     got_delay = True
-                except ValueError:
-                    pass
         break
-    return delay_ms, disallow
+    return delay_ms, disallow, allow
 
 
 def golden_robots_table():
@@ -964,20 +974,22 @@ def golden_robots_table():
         else:
             status = 200
         if status == 200:
-            delay_ms, dis = _parse_robots_model(
+            delay_ms, dis, alw = _parse_robots_model(
                 robots_txt_bytes(host, world).decode("utf-8"), default_ms
             )
         else:
-            delay_ms, dis = default_ms, []
+            delay_ms, dis, alw = default_ms, [], []
         budget = min(max(int(window_ms / max(delay_ms, 1)), 1), max_budget)
-        rows.append((host, delay_ms, budget, ",".join(dis), status))
+        rows.append((host, delay_ms, budget, ",".join(dis), ",".join(alw),
+                     status))
     rows.sort()
     write_golden("robots_table", pa.table({
         "host": pa.array([r[0] for r in rows], pa.string()),
         "crawl_delay_ms": pa.array([r[1] for r in rows], pa.int32()),
         "per_wave_budget": pa.array([r[2] for r in rows], pa.int32()),
         "disallow_csv": pa.array([r[3] for r in rows], pa.string()),
-        "fetch_status": pa.array([r[4] for r in rows], pa.int32()),
+        "allow_csv": pa.array([r[4] for r in rows], pa.string()),
+        "fetch_status": pa.array([r[5] for r in rows], pa.int32()),
     }))
 
 

@@ -506,17 +506,74 @@ def test_dedup_clusters_star_algorithm_identical(spark):
 
 def test_dedup_clusters_auto_falls_back_on_long_chains(spark):
     """algorithm='auto': a 200-node chain exceeds min-label's round cap, and
-    the star fallback must complete it instead of raising."""
+    the star fallback must complete it instead of raising.  Round-4
+    verdict fix: the min-label PROBE is budgeted (probe_iter, default 8),
+    so the total rounds paid on the adversarial graph are probe + O(log n)
+    — never min-label's full 25."""
+    import math
+
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "a long, b long"
     )
-    got = {r["id"]: r["canonical"] for r in D.dedup_clusters(chain).collect()}
+    stats = {}
+    got = {r["id"]: r["canonical"]
+           for r in D.dedup_clusters(chain, stats=stats).collect()}
     assert got == {i: 0 for i in range(200)}
+    assert stats["algorithm"] == "star"
+    assert stats["probe_rounds"] <= 8
+    assert stats["rounds"] <= 8 + 2 * math.ceil(math.log2(200)) + 4, stats
     # forcing minlabel on the same graph raises — the failure mode auto removes
     import pytest as _pt
 
     with _pt.raises(RuntimeError):
         D.dedup_clusters(chain, algorithm="minlabel").collect()
+    # easy graphs stay on the cheap min-label path and report their rounds
+    easy = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    stats = {}
+    got = {r["id"]: r["canonical"]
+           for r in D.dedup_clusters(easy, stats=stats).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert stats["algorithm"] == "minlabel" and stats["rounds"] <= 8
+
+
+def test_minlabel_releases_superseded_label_checkpoints(spark):
+    """ADVICE-r04 class fix on BOTH CC variants: a k-round fixpoint run
+    must not hold k label/edge snapshots in executor storage.  After a
+    converged run, at most the returned frame's own checkpoint (plus the
+    final round's input) may remain."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    before = _persistent_rdd_ids(spark)
+    D.connected_components(chain).collect()  # ~12 rounds
+    new_minl = _persistent_rdd_ids(spark) - before
+    assert len(new_minl) <= 2, f"min-label leaked: {sorted(new_minl)}"
+    before = _persistent_rdd_ids(spark)
+    D.connected_components_star(chain).collect()
+    new_star = _persistent_rdd_ids(spark) - before
+    # nodes + final edge frame (+ their union stage) may remain; superseded
+    # per-round edge frames must not
+    assert len(new_star) <= 3, f"star leaked: {sorted(new_star)}"
+
+
+def test_eager_barrier_honored_with_caller_shingles(spark):
+    """ADVICE r04: eager=True must materialize the result before return
+    even when the caller passes its own shingles= frame (only the
+    unpersist of the caller-owned cache is skipped)."""
+    docs = dup_docs(spark)
+    sh = D.word_shingles(docs, "text", "doc_id", 3).persist()
+    try:
+        out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, shingles=sh,
+                                  eager=True)
+        # a localCheckpoint(eager=True) result plans as an ExistingRDD scan
+        assert "ExistingRDD" in out._jdf.queryExecution().optimizedPlan().toString()
+        # the caller-owned cache must still be cached
+        assert sh.storageLevel.useMemory or sh.storageLevel.useDisk
+        lazy = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, shingles=sh,
+                                   eager=False)
+        assert "ExistingRDD" not in lazy._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        sh.unpersist()
 
 
 def test_pq_encode_shapes_and_determinism(spark, emb):
@@ -530,6 +587,24 @@ def test_pq_encode_shapes_and_determinism(spark, emb):
     codes2 = {r["vec_id"]: list(r["codes"])
               for r in SIM.pq_encode(emb.limit(100), cb).collect()}
     assert codes == codes2
+
+
+def test_pq_dim_not_divisible_by_m_fails_loudly(spark, emb):
+    """ADVICE r04: d % m != 0 used to silently drop the trailing dims from
+    codes AND query LUTs, skewing approx_cos.  Now every PQ entry point
+    raises."""
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not divisible"):
+        SIM.pq_codebooks_fixed(emb, m=7, kc=16)  # dim 64, 64 % 7 != 0
+    with _pt.raises(ValueError, match="not divisible"):
+        SIM.train_pq_codebooks(emb, m=7, kc=16)
+    # mismatched VECTORS against well-formed codebooks also fail loudly
+    cb = SIM.pq_codebooks_fixed(emb, m=8, kc=16)
+    import numpy as _np
+
+    with _pt.raises(ValueError, match="!= m\\*sub"):
+        SIM._pq_encode_rows(_np.zeros((2, 65)), cb)
 
 
 def test_pq_ann_recall_vs_exact(spark, emb):

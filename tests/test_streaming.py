@@ -204,6 +204,67 @@ def test_unseen_handler_idempotent_on_redelivery(spark, tmp_path):
     assert sorted(r["url_hash"] for r in spark.read.parquet(f"{out_dir}/batch_id=1").collect()) == [3, 4]
 
 
+def test_unseen_handler_compacts_seen_dirs(spark, tmp_path):
+    """Round-4 verdict fix: the seen store must not grow one directory per
+    micro-batch forever.  Dirs older than the redelivery horizon fold into
+    the StateStore base; the handler reads base + ≤ horizon recent dirs."""
+    import os
+
+    from httpz_spark.streaming.micro import make_unseen_batch_handler
+
+    out_dir, seen_dir = str(tmp_path / "out"), str(tmp_path / "seen")
+    horizon = 2
+    handle = make_unseen_batch_handler(out_dir, seen_dir, horizon=horizon)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url_hash long, raw string, maybe_seen boolean"
+        )
+
+    n_batches = 8
+    # batch i carries keys {i, i+1} (i as a bloom-flagged re-check, i+1
+    # definite-new) -> exact first-occurrences: batch 0 emits {0, 1},
+    # batch i>0 emits {i+1}
+    for i in range(n_batches):
+        handle(batch([(i, f"u{i}", True), (i + 1, f"u{i+1}", False)]), i)
+
+    # growth bound: compaction runs at the END of each batch (after the
+    # batch writes its own seen dir), so steady state holds exactly
+    # horizon+1 dirs — O(horizon), never O(total batches)
+    dirs = handle.recent_seen_dirs(n_batches)
+    assert len(dirs) <= horizon + 1, dirs
+    assert os.path.isdir(os.path.join(seen_dir, "_base"))
+
+    # exactness across the compaction boundary
+    for i in range(n_batches):
+        got = sorted(r["url_hash"] for r in
+                     spark.read.parquet(f"{out_dir}/batch_id={i}").collect())
+        assert got == ([0, 1] if i == 0 else [i + 1]), i
+
+    # the full seen set survives compaction (base ∪ recent = all keys)
+    seen = sorted(r["url_hash"] for r in
+                  handle.seen_before(spark, n_batches).collect())
+    assert seen == list(range(n_batches + 1))
+
+    # replaying the LATEST batch after compaction is still idempotent
+    last = n_batches - 1
+    handle(batch([(last, f"u{last}", True), (last + 1, f"u{last+1}", False)]),
+           last)
+    got = sorted(r["url_hash"] for r in
+                 spark.read.parquet(f"{out_dir}/batch_id={last}").collect())
+    assert got == [last + 1]
+
+    # crash window between base commit and dir deletion: a folded dir
+    # resurfacing (duplicate keys in base ∪ dirs) must not change output
+    ghost = os.path.join(seen_dir, "batch_id=1")
+    spark.createDataFrame([(2,)], "url_hash long").write.mode(
+        "overwrite").parquet(ghost)
+    handle(batch([(2, "u2", True), (99, "u99", False)]), n_batches)
+    got = sorted(r["url_hash"] for r in
+                 spark.read.parquet(f"{out_dir}/batch_id={n_batches}").collect())
+    assert got == [99]
+
+
 def test_streaming_unseen_exact_with_overfull_bloom(spark, tmp_path):
     """An undersized bloom (capacity 16 for 600 keys -> FP-saturated) must
     degrade to more exact-check work, NEVER to wrong output."""
