@@ -520,6 +520,23 @@ def q_pq_ann_topk(spark, sf_dir):
     )
 
 
+def q_pq_ann_topk_256(spark, sf_dir):
+    # the FAISS-standard 8-bit PQ geometry (kc=256, 16x the kc=16 toy's
+    # codebook volume): full-width numpy argmin over 256 centroids per
+    # subspace in encode, 256-wide ADC gather per row.  Same independent
+    # scalar-order golden discipline (golden_pq_ann_topk_256).
+    from httpz_spark.operators.similarity import pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(e, queries, k=3, m=8, kc=256).select(
+        "query_id", "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"), "rank",
+    )
+
+
 def q_ivfpq_ann_topk(spark, sf_dir):
     # FAISS-IVFPQ composition: coarse IVF pruning + ADC over PQ codes
     # within the probed cells only (golden: the ivf probe model composed
@@ -609,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_table": _shipped(q_robots_table),
         "winnow_dup_pairs": _shipped(q_winnow_dup_pairs),
         "pq_ann_topk": _shipped(q_pq_ann_topk),
+        "pq_ann_topk_256": _shipped(q_pq_ann_topk_256),
         "ivfpq_ann_topk": _shipped(q_ivfpq_ann_topk),
     }
 
@@ -653,6 +671,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 50""",
         "pq_ann_topk": _golden_sql(
             "pq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
+        "pq_ann_topk_256": _golden_sql(
+            "pq_ann_topk_256", "query_id, neighbor_id, approx_cos, rank"),
         "ivfpq_ann_topk": _golden_sql(
             "ivfpq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
         "crawl_single_wave": _golden_sql(

@@ -754,7 +754,7 @@ def golden_payload_validation(psnr_min=40.0):
 # gather-adds, then s / (qnorm * sqrt(normsq-sum)))
 # ---------------------------------------------------------------------------
 
-def golden_pq_ann_topk(k=3, m=8, kc=16):
+def golden_pq_ann_topk(k=3, m=8, kc=16, name="pq_ann_topk"):
     emb = load_embeddings()
     vecs = {vid: list(map(float, v)) for vid, v in emb}
     ids_sorted = sorted(vecs)
@@ -806,12 +806,21 @@ def golden_pq_ann_topk(k=3, m=8, kc=16):
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rank, (score, vid) in enumerate(scored[:k], start=1):
             rows.append((qid, vid, spark_round(score), rank))
-    write_golden("pq_ann_topk", pa.table({
+    write_golden(name, pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
         "approx_cos": pa.array([r[2] for r in rows], pa.float64()),
         "rank": pa.array([r[3] for r in rows], pa.int32()),
     }))
+
+
+def golden_pq_ann_topk_256():
+    # the FAISS-standard 8-bit geometry (kc=256): 16x the codebook volume
+    # through the same scalar-order encode+ADC model — the engine side
+    # works through full-width numpy argmin/gather paths here (fixed
+    # codebooks keep the golden bit-reproducible; the TRAINED path is
+    # covered by the recall assertions in test_pipeline_ops)
+    golden_pq_ann_topk(k=3, m=8, kc=256, name="pq_ann_topk_256")
 
 
 def golden_ivfpq_ann_topk(k=3, n_centroids=16, nprobe=4, m=8, kc=16):
@@ -1008,6 +1017,7 @@ GOLDENS = {
     "multimodal_decode": golden_multimodal_decode,
     "robots_table": golden_robots_table,
     "pq_ann_topk": golden_pq_ann_topk,
+    "pq_ann_topk_256": golden_pq_ann_topk_256,
     "ivfpq_ann_topk": golden_ivfpq_ann_topk,
 }
 

@@ -565,13 +565,13 @@ def test_eager_barrier_honored_with_caller_shingles(spark):
     try:
         out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, shingles=sh,
                                   eager=True)
-        # a localCheckpoint(eager=True) result plans as an ExistingRDD scan
-        assert "ExistingRDD" in out._jdf.queryExecution().optimizedPlan().toString()
+        # a localCheckpoint(eager=True) result plans as a LogicalRDD scan
+        assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
         # the caller-owned cache must still be cached
         assert sh.storageLevel.useMemory or sh.storageLevel.useDisk
         lazy = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, shingles=sh,
                                    eager=False)
-        assert "ExistingRDD" not in lazy._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" not in lazy._jdf.queryExecution().optimizedPlan().toString()
     finally:
         sh.unpersist()
 
@@ -618,16 +618,23 @@ def test_pq_ann_recall_vs_exact(spark, emb):
     exact = {}
     for r in SIM.cosine_topk(emb, queries, k=5).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    pq = {}
-    for r in SIM.pq_ann_topk(emb, queries, k=5, m=8, kc=256).collect():
-        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    hits = sum(len(exact[q] & pq[q]) for q in exact)
-    total = sum(len(exact[q]) for q in exact)
-    assert hits / total >= 0.55, (hits, total)
-    # the self-match (query is in the corpus, cos=1) must always survive
-    # quantization into the returned neighborhood
-    for q in exact:
-        assert q in pq[q], q
+    def recall(**kw):
+        pq = {}
+        for r in SIM.pq_ann_topk(emb, queries, k=5, m=8, **kw).collect():
+            pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & pq[q]) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        # the self-match (query is in the corpus, cos=1) must always
+        # survive quantization into the returned neighborhood
+        for q in exact:
+            assert q in pq[q], q
+        return hits / total
+
+    assert recall(kc=256) >= 0.55
+    # TRAINED codebooks (driver-numpy per-subspace k-means) must beat the
+    # fixed quantizer at the same geometry (measured 0.70 vs 0.60 on this
+    # deterministic corpus/seed)
+    assert recall(kc=256, train=True) >= 0.65
 
 
 def test_ivfpq_composition(spark, emb):

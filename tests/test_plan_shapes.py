@@ -113,3 +113,136 @@ def test_dedup_pair_plan_shapes_lazy(spark, sf_dir):
         assert "CartesianProduct" not in p, fn.__name__
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
         assert "BatchEvalPython" not in p, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# pre-barrier crawl pipeline (round-4 verdict #6): the wave loop
+# materializes _schedule/_fetch results, so their LAZY plans — the
+# interesting ones — are pinned here directly on the engine's own frames.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crawl_frames(spark, tmp_path_factory):
+    """(scheduled, deferred, fetch_out) lazy frames of one engine wave
+    over a small fabric — built once, asserted on by the tests below."""
+    from httpz_spark.config import EngineConfig, ScanConfig
+    from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=64, n_hosts=12).with_certs()
+    state = str(tmp_path_factory.mktemp("plan_state"))
+    # persisted, as in production where `images` is a STORED table — the
+    # synthetic builder's own MapInPandas must not masquerade as a wave
+    # python stage in the assertions below
+    images = S.images_df(spark, world, partitions=4).persist()
+    images.count()
+    seeds = S.seeds_df(spark, [
+        f"https://{FB.host_for_image(FB.image_id_at(i), world)}"
+        f"/li/{FB.image_id_at(i)}" for i in range(64)
+    ])
+    eng = CrawlEngine(
+        spark, images, dns=None, robots=S.robots_df(spark, world),
+        scan_cfg=ScanConfig.all_on(),
+        engine_cfg=EngineConfig(partitions=8, per_host_budget=4,
+                                politeness_pre_salt=8, salt_buckets=4,
+                                hot_host_threshold=4, use_bloom=False,
+                                include_payload=True),
+        fabric_cfg=world, state_dir=state,
+    )
+    eng.init_frontier(seeds)
+    frontier = eng.store.read("frontier")
+    scheduled, deferred = eng._schedule(frontier)
+    return scheduled, deferred, eng._fetch(scheduled, 0)
+
+
+def test_wave_has_exactly_one_python_stage(spark, crawl_frames):
+    """The whole wave (schedule + fetch + payload join) plans EXACTLY one
+    MapInPandas — the fetch stage.  Everything else (canonicalize,
+    politeness, salting, joins) stays JVM-side."""
+    _s, _d, out = crawl_frames
+    p = plan_of(out, mode="simple")  # one tree, no details section —
+    # a single node appears exactly once
+    assert p.count("MapInPandas fetch_batches") == 1, p
+    # any other MapInPandas occurrence is the cached images table printing
+    # its build recipe inside its InMemoryRelation — never an executed
+    # wave stage
+    for ln in p.splitlines():
+        if "MapInPandas" in ln:
+            assert "fetch_batches" in ln or " gen(" in ln, ln
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_payload_join_sits_after_fetch_stage(spark, crawl_frames):
+    """Heavy payload BYTES join only the fetched rows: in the plan tree the
+    payload join is an ANCESTOR of the MapInPandas fetch stage (parents
+    print before children in explain output), while the light-meta join
+    rides below it — bytes never cross the pre-fetch shuffle."""
+    _s, _d, out = crawl_frames
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    def out_names(node):
+        return {node.output().apply(i).name()
+                for i in range(node.output().size())}
+
+    root = out._jdf.queryExecution().optimizedPlan()
+    fetch_nodes = [n for n in walk(root)
+                   if n.nodeName() == "MapInPandas"
+                   and "fetch_batches" in n.toString().splitlines()[0]]
+    assert len(fetch_nodes) == 1, [n.nodeName() for n in walk(root)]
+    # the fetch INPUT carries no payload bytes, and no shuffle under the
+    # fetch stage moves them (the cached images relation itself lists its
+    # full schema at the logical level — pruning lands in the physical
+    # InMemoryTableScan — so assert on the exchanges and the stage input,
+    # which is the actual "bytes never ride the pre-fetch shuffle" claim)
+    fetch_input = fetch_nodes[0].children().apply(0)
+    assert "bytes" not in out_names(fetch_input), fetch_input.toString()
+    for n in walk(fetch_nodes[0]):
+        if "Repartition" in n.nodeName() or "Exchange" in n.nodeName():
+            assert "bytes" not in out_names(n), n.toString().splitlines()[0]
+    # ...but the wave OUTPUT has them: the payload join is an ancestor of
+    # the fetch stage (include_payload post-fetch join)
+    assert "bytes" in out_names(root)
+    # and the light meta (caption) DOES ride into the fetch stage
+    assert any("caption" in out_names(n) for n in walk(fetch_nodes[0]))
+
+
+def test_politeness_window_input_is_salted(spark, crawl_frames):
+    """The per-host ranking must never sort one hot host in a single task:
+    with pre_salt > 1 the rank window partitions on (host, priority
+    bucket, hash bucket) — the _pb/_hb salt columns — and an exact-offset
+    join restores global ranks."""
+    s, _d, _o = crawl_frames
+    p = plan_of(s)
+    w = [ln for ln in p.splitlines() if "row_number" in ln
+         and "windowspecdefinition" in ln]
+    assert w, p
+    assert all("_hb" in ln and "_pb" in ln for ln in w), w
+
+
+def test_fetch_stage_input_salted_by_rank(spark, crawl_frames):
+    """The fetch repartition spreads hot hosts by the politeness rank
+    (floor((rank-1)/target)) — deterministic, perfectly balanced, no
+    extra pass (adaptive mode of salted_repartition)."""
+    _s, _d, out = crawl_frames
+    p = plan_of(out)
+    ex = [ln for ln in p.splitlines()
+          if "hashpartitioning" in ln and "host" in ln]
+    assert ex, p
+    assert any("sched_rank" in ln and "FLOOR" in ln.upper() for ln in ex), ex
+
+
+def test_scheduled_deferred_split_is_exact_filter(spark, crawl_frames):
+    """deferred is the same ranked frame filtered on NOT scheduled — no
+    recomputation of the window, no extra shuffle stage beyond the rank's
+    own (same Exchange signature in both plans)."""
+    s, d, _o = crawl_frames
+    ps, pd_ = plan_of(s), plan_of(d)
+    for p in (ps, pd_):
+        assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
+    # both sides carry the politeness window machinery
+    assert "windowspecdefinition" in ps and "windowspecdefinition" in pd_
