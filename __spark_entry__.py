@@ -296,6 +296,41 @@ def q_training_shard(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_training_shard_substr(spark, sf_dir):
+    """Capstone variant with the SUBSTRING-dedup drop-list unioned in —
+    Lee et al. (ACL'22)'s actual pipeline shape: whole-document near-dup
+    pairs (ngram jaccard) UNION substring-overlap pairs (>=50 shared
+    winnowing fingerprints) feed ONE connected-components pass; each
+    cluster's canonical doc survives, then the quality gate.  The
+    whole-doc-only behavior remains available as ★training_shard (this is
+    the "substring dedup on" flag of the pipeline)."""
+    from httpz_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+        winnow_dup_pairs,
+    )
+    from httpz_spark.operators.textstats import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.2).select("a", "b")
+        .unionByName(winnow_dup_pairs(d, min_common=50).select("a", "b"))
+        .distinct()
+    )
+    drop = (
+        dedup_clusters(pairs)
+        .filter(F.col("id") != F.col("canonical"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = d.join(drop, "doc_id", "left_anti")
+    t = F.col("text")
+    return kept.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -608,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _shipped(q_ngram_jaccard_dups),
         "dedup_clusters": _shipped(q_dedup_clusters),
         "training_shard": _shipped(q_training_shard),
+        "training_shard_substr": _shipped(q_training_shard_substr),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -854,6 +890,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT a AS x, b AS y FROM p
               UNION
               SELECT b AS x, a AS y FROM p
+            ),
+            reach(id, r) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS canonical FROM reach GROUP BY id),
+            drops AS (SELECT id FROM comp WHERE id != canonical),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN {_NORM_DUCK} = '' THEN 0
+                          ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tokens,
+                     round(
+                       (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                             WHEN length(text) > 2000 THEN 0.7
+                             ELSE length(text) / 100.0 END) * 0.4
+                     + (CASE WHEN p2 <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p2 - 0.1) * 5.0) END) * 0.3
+                     + least(1.0, s2 * 10.0) * 0.3, 6) AS quality
+              FROM (
+                SELECT *,
+                  (length(text) - length(regexp_replace(text,
+                      '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) AS p2,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('the','and','of','to','is'))) * 1.0
+                      / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s2
+                FROM documents
+              )
+            )
+            SELECT doc_id, n_tokens, quality FROM scored
+            WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
+        """,
+        # capstone with the substring-dedup drop-list unioned in: the pair
+        # graph is ngram pairs ∪ winnow pairs (the latter recomputed by SQL
+        # over the hash-verified winnow-fingerprint golden — same shape as
+        # the winnow_dup_pairs oracle), everything downstream identical
+        "training_shard_substr": f"""
+            WITH RECURSIVE {_ngram_pairs_ctes()},
+            wfps AS (SELECT doc_id, fp
+                    FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),
+            wrare AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 1000),
+            wf2 AS (SELECT doc_id, fp FROM wfps JOIN wrare USING (fp)),
+            wp AS (
+              SELECT fa.doc_id AS a, fb.doc_id AS b
+              FROM wf2 fa JOIN wf2 fb ON fa.fp = fb.fp AND fa.doc_id < fb.doc_id
+              GROUP BY fa.doc_id, fb.doc_id HAVING count(*) >= 50
+            ),
+            pall AS (SELECT a, b FROM p UNION SELECT a, b FROM wp),
+            e AS (
+              SELECT a AS x, b AS y FROM pall
+              UNION
+              SELECT b AS x, a AS y FROM pall
             ),
             reach(id, r) AS (
               SELECT x, y FROM e

@@ -865,3 +865,41 @@ def test_decode_poison_corrupt_png_sig(spark):
     out = M.decode_stats(df).collect()
     assert len(out) == 1 and out[0]["decode_ok"] is False
     assert M.resize_thumbnails(df).count() == 0  # skipped, no crash
+
+
+def test_substr_dedup_composition_catches_substring_only_dups(spark):
+    """The training_shard_substr composition (Lee et al. ACL'22 shape):
+    two documents sharing a long VERBATIM passage but differing elsewhere
+    are invisible to whole-document ngram jaccard (overlap ratio below
+    threshold) yet must cluster via the winnow substring pairs — so the
+    unioned pair graph drops one of them while the ngram-only graph keeps
+    both.  (The synthetic documents table's dups are whole-doc, where
+    winnow pairs ⊂ ngram pairs — this fixture is the differentiator.)"""
+    import random
+
+    rng = random.Random(7)
+    # disjoint per-doc filler vocabularies: the only shared character
+    # substrings are the verbatim passage (8-char winnow fingerprints
+    # would otherwise collide on short common words)
+    passage = " ".join(rng.choice([f"p{i}x" for i in range(400)])
+                       for _ in range(120))
+    filler_a = " ".join(rng.choice([f"aa{i}q" for i in range(400)])
+                        for _ in range(900))
+    filler_b = " ".join(rng.choice([f"bb{i}z" for i in range(400)])
+                        for _ in range(900))
+    other = " ".join(rng.choice([f"cc{i}k" for i in range(400)])
+                     for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, filler_a + " " + passage),
+         (2, passage + " " + filler_b),
+         (3, other)],
+        "doc_id long, text string")
+    ngram = D.ngram_jaccard_pairs(docs, threshold=0.2).select("a", "b")
+    assert ngram.count() == 0  # whole-doc similarity is below threshold
+    wn = D.winnow_dup_pairs(docs, min_common=20).select("a", "b")
+    assert {(r["a"], r["b"]) for r in wn.collect()} == {(1, 2)}
+    drop = (
+        D.dedup_clusters(ngram.unionByName(wn).distinct())
+        .filter(F.col("id") != F.col("canonical"))
+    )
+    assert [r["id"] for r in drop.collect()] == [2]
