@@ -88,11 +88,11 @@ class LocalHttpServer:
 
     def _run(self):
         asyncio.set_event_loop(self._loop)
-        server = self._loop.run_until_complete(
+        self._server = self._loop.run_until_complete(
             asyncio.start_server(self._handle, "127.0.0.1", 0,
                                  ssl=self._ssl_ctx)
         )
-        self.port = server.sockets[0].getsockname()[1]
+        self.port = self._server.sockets[0].getsockname()[1]
         self._started.set()
         self._loop.run_forever()
 
@@ -142,9 +142,27 @@ class LocalHttpServer:
             pass
         finally:
             writer.close()
+            try:
+                await writer.wait_closed()  # drain transport teardown ON
+                # the loop — a bare close() leaves callbacks that fire
+                # after loop shutdown ("Event loop is closed" warnings)
+            except Exception:
+                pass
 
     def stop(self):
-        self._loop.call_soon_threadsafe(self._loop.stop)
+        async def _shutdown():
+            self._server.close()
+            await self._server.wait_closed()
+            # cancel handlers still parked in readuntil/sleep so no
+            # coroutine is left pending (un-awaited) when the loop stops
+            for t in asyncio.all_tasks(self._loop):
+                if t is not asyncio.current_task():
+                    t.cancel()
+            await asyncio.sleep(0)
+            self._loop.stop()
+
+        asyncio.run_coroutine_threadsafe(_shutdown(), self._loop)
+        self._thread.join(timeout=10)
 
 
 @pytest.fixture(scope="module")
