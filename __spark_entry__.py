@@ -612,6 +612,23 @@ def q_robots_table(spark, sf_dir):
     )
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    # sitemap-driven seed discovery (north_rule "seeded frontier" feed):
+    # robots Sitemap: lines -> sitemap/sitemapindex fetch (one recursion
+    # level) -> host-scoped page URLs, all parsing native.  Golden oracle
+    # = independent model using line-based robots parse + stdlib
+    # ElementTree XML (vs the engine's regex <loc> path) + the url_class
+    # failure matrix (scripts/make_goldens.py:golden_sitemap_discovery).
+    from httpz_spark.operators.sitemapfetch import sitemap_seed_frame
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=256, n_hosts=48).with_certs()
+    hosts = spark.createDataFrame(
+        [(h,) for h in FB.all_hosts(world)], "host string"
+    )
+    return sitemap_seed_frame(hosts, world, partitions=8)
+
+
 def _shipped(fn):
     def wrapper(spark, sf_dir):
         _ensure_shipped(spark)
@@ -660,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _shipped(q_frame_sample),
         "payload_validation": _shipped(q_payload_validation),
         "robots_table": _shipped(q_robots_table),
+        "sitemap_discovery": _shipped(q_sitemap_discovery),
         "winnow_dup_pairs": _shipped(q_winnow_dup_pairs),
         "pq_ann_topk": _shipped(q_pq_ann_topk),
         "pq_ann_topk_256": _shipped(q_pq_ann_topk_256),
@@ -697,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
             "robots_table",
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, allow_csv, "
             "fetch_status"),
+        "sitemap_discovery": _golden_sql("sitemap_discovery", "host, loc"),
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp
                          FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),

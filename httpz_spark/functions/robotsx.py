@@ -76,6 +76,21 @@ def robots_allow(txt: Column) -> Column:
     )
 
 
+def robots_sitemaps(txt: Column) -> Column:
+    """array<string> of ``Sitemap:`` URLs — GLOBAL lines per sitemaps.org
+    (position-independent, outside any user-agent group, case-insensitive
+    key), so extraction runs over the whole comment-stripped text, not the
+    star record.  Duplicates collapse."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(txt, "\r", ""), r"(?m)#[^\n]*", ""
+    )
+    return F.array_distinct(
+        F.regexp_extract_all(
+            cleaned, F.lit(r"(?im)^sitemap:[ \t]*(\S+)[ \t]*$"), 1
+        )
+    )
+
+
 def robots_crawl_delay_ms(txt: Column, default_ms: int = 1000) -> Column:
     """Crawl-delay of the ``*`` record in ms; ``default_ms`` if absent OR
     malformed (the cast of a malformed capture can only arise if the

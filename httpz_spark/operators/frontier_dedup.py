@@ -149,7 +149,14 @@ class BloomIndex:
     def probe(self, candidates: DataFrame, key_col: str = "url_hash") -> DataFrame:
         """Adds ``maybe_seen boolean``.  Candidates are repartitioned on pid
         so each task reads one bloom file (candidate-side-only shuffle; the
-        seen table is untouched)."""
+        seen table is untouched).
+
+        The stage is ``mapInArrow``, not ``mapInPandas``: the probe only
+        READS the key column (numpy view) and APPENDS a boolean —
+        pass-through columns (url/host/path strings at frontier width) are
+        never boxed into pandas objects (measured numbers in
+        BENCH/BASELINE.md's bloom section)."""
+        import pyarrow as pa
         from pyspark.sql.types import BooleanType, StructField, StructType
 
         m, k, P = self.m, self.k, self.partitions
@@ -160,12 +167,13 @@ class BloomIndex:
 
         def run(batches):
             cache: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                keys = pdf[key_col].to_numpy(dtype=np.int64)
+                keys = rb.column(rb.schema.get_field_index(key_col)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
                 pids = np.mod(keys, P)
-                mask = np.zeros(len(pdf), dtype=bool)
+                mask = np.zeros(rb.num_rows, dtype=bool)
                 for pid in np.unique(pids):
                     if pid not in cache:
                         try:
@@ -178,12 +186,13 @@ class BloomIndex:
                         mask[sel] = True  # no bloom -> degrade to exact check
                     else:
                         mask[sel] = bloom_maybe(bits, m, k, keys[sel])
-                out = pdf.copy()
-                out["maybe_seen"] = mask
-                yield out
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) + [pa.array(mask)],
+                    names=list(rb.schema.names) + ["maybe_seen"],
+                )
 
         parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
-        return parted.mapInPandas(run, schema=out_schema)
+        return parted.mapInArrow(run, schema=out_schema)
 
 
 def dedup_unseen(

@@ -1002,6 +1002,109 @@ def golden_robots_table():
     }))
 
 
+# ---------------------------------------------------------------------------
+# sitemap_discovery — INDEPENDENT model: line-based robots Sitemap parse,
+# stdlib ElementTree XML parsing (vs the engine's native regex <loc>
+# extraction), urllib host-scope checks, and the url_class fetch-outcome
+# model applied to every robots/sitemap path
+# ---------------------------------------------------------------------------
+
+def _fetch_model_status(host: str, path: str, world) -> int:
+    """https-first-with-http-fallback outcome for a (host, path) under the
+    fabric failure matrix, with no retries (the robots/sitemap generators
+    always send attempt 0): the golden_robots_table model generalized."""
+    from httpz_spark.sources.fabric import h64
+
+    m = h64(f"{world.seed}:cls:{host}{path}") % 100
+    if m in (4, 5, 10):
+        return -1
+    if m == 8:
+        return 404
+    if m == 9:
+        return 500
+    return 200
+
+
+def golden_sitemap_discovery():
+    import xml.etree.ElementTree as ET
+    from urllib.parse import urlsplit
+
+    from httpz_spark.sources.fabric import (
+        FabricConfig,
+        all_hosts,
+        robots_txt_bytes,
+        sitemap_xml_bytes,
+    )
+
+    world = FabricConfig(n_images=256, n_hosts=48).with_certs()
+
+    def same_host(url: str, host: str) -> bool:
+        try:
+            p = urlsplit(url)
+        except ValueError:
+            return False
+        return p.scheme.lower() in ("http", "https") and \
+            p.netloc.lower() == host.lower()
+
+    def et_locs(body: bytes):
+        root = ET.fromstring(body)
+        tag = root.tag.rsplit("}", 1)[-1]
+        locs = []
+        for el in root.iter():
+            if el.tag.rsplit("}", 1)[-1] == "loc" and el.text:
+                locs.append(el.text.strip())
+        # preserve set semantics (engine array_distinct + distinct)
+        seen, out = set(), []
+        for u in locs:
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+        return tag, out
+
+    rows = set()
+    for host in all_hosts(world):
+        if _fetch_model_status(host, "/robots.txt", world) != 200:
+            continue
+        # line-based Sitemap extraction (global, case-insensitive key)
+        sitemap_urls = []
+        txt = robots_txt_bytes(host, world).decode("utf-8")
+        for raw in txt.replace("\r", "").split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            key, sep, val = line.partition(":")
+            if sep and key.strip().lower() == "sitemap":
+                toks = val.split()
+                if len(toks) == 1 and toks[0] not in sitemap_urls:
+                    sitemap_urls.append(toks[0])
+        fetched = set()
+        urlset_bodies = []
+        level = [u for u in sitemap_urls if same_host(u, host)]
+        for depth in range(2):  # level 0 + ONE index recursion
+            nxt = []
+            for u in level:
+                if u in fetched:
+                    continue
+                fetched.add(u)
+                path = urlsplit(u).path or "/"
+                if _fetch_model_status(host, path, world) != 200:
+                    continue
+                tag, locs = et_locs(sitemap_xml_bytes(host, path, world))
+                if tag == "sitemapindex":
+                    if depth == 0:
+                        nxt.extend(x for x in locs if same_host(x, host))
+                else:
+                    urlset_bodies.append(locs)
+            level = nxt
+        for locs in urlset_bodies:
+            for loc in locs:
+                if same_host(loc, host):
+                    rows.add((host, loc))
+    out = sorted(rows)
+    write_golden("sitemap_discovery", pa.table({
+        "host": pa.array([r[0] for r in out], pa.string()),
+        "loc": pa.array([r[1] for r in out], pa.string()),
+    }))
+
+
 GOLDENS = {
     "minhash_lsh_dups": golden_minhash,
     "simhash_near_dups": golden_simhash,
@@ -1016,6 +1119,7 @@ GOLDENS = {
     "frontier_crawl": golden_frontier_crawl,
     "multimodal_decode": golden_multimodal_decode,
     "robots_table": golden_robots_table,
+    "sitemap_discovery": golden_sitemap_discovery,
     "pq_ann_topk": golden_pq_ann_topk,
     "pq_ann_topk_256": golden_pq_ann_topk_256,
     "ivfpq_ann_topk": golden_ivfpq_ann_topk,
