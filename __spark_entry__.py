@@ -296,6 +296,29 @@ def q_training_shard(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1 —
+    the rule family RefinedWeb/RedPajama/Dolma reuse) + the published
+    keep thresholds.  Everything per-row native except the top-bigram
+    signal (explode + per-doc agg); the oracle is REAL SQL replaying
+    every formula."""
+    from httpz_spark.operators.textquality import (
+        gopher_keep,
+        gopher_quality_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_keep(gopher_quality_signals(d))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "alpha_word_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
+        F.col("stop_word_hits").cast("long").alias("stop_word_hits"),
+        "top_bigram_char_frac", "keep",
+    )
+
+
 def q_training_shard_substr(spark, sf_dir):
     """Capstone variant with the SUBSTRING-dedup drop-list unioned in —
     Lee et al. (ACL'22)'s actual pipeline shape: whole-document near-dup
@@ -661,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _shipped(q_dedup_clusters),
         "training_shard": _shipped(q_training_shard),
         "training_shard_substr": _shipped(q_training_shard_substr),
+        "gopher_quality": _shipped(q_gopher_quality),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -994,6 +1018,95 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, quality FROM scored
             WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
+        """,
+        # Gopher quality: every formula replayed in SQL (per-row signals
+        # over the same normalized text; top bigram via unnest + group by
+        # + window, lexicographically-smallest gram on count ties)
+        "gopher_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_NORM_DUCK} AS norm,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) != '') AS nl
+              FROM documents
+            ),
+            rowsig AS (
+              SELECT doc_id, norm,
+                CASE WHEN norm = '' THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS n_words,
+                string_split(norm, ' ') AS ws, nl,
+                len(nl) AS n_lines,
+                list_sum(list_transform(nl, l -> length(l))) AS tot_chars,
+                list_sum(list_transform(list_distinct(nl),
+                                        l -> length(l))) AS dis_chars
+              FROM base
+            ),
+            sig AS (
+              SELECT doc_id, norm, n_words,
+                round(CASE WHEN n_words = 0 THEN 0.0
+                      ELSE (length(norm) - (n_words - 1)) * 1.0 / n_words
+                      END, 6) AS mean_word_len,
+                round(CASE WHEN n_words = 0 THEN 0.0
+                      ELSE len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                           / n_words END, 6) AS alpha_word_frac,
+                round(CASE WHEN n_lines = 0 THEN 0.0
+                      ELSE len(list_filter(nl,
+                           l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+                           / n_lines END, 6) AS bullet_line_frac,
+                round(CASE WHEN n_lines = 0 THEN 0.0
+                      ELSE len(list_filter(nl,
+                           l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0
+                           / n_lines END, 6) AS ellipsis_line_frac,
+                round(CASE WHEN n_lines = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(nl)) * 1.0 / n_lines
+                      END, 6) AS dup_line_frac,
+                round(CASE WHEN coalesce(tot_chars, 0) = 0 THEN 0.0
+                      ELSE 1.0 - dis_chars * 1.0 / tot_chars
+                      END, 6) AS dup_line_char_frac,
+                len(list_filter(string_split(lower(norm), ' '),
+                    w -> w IN ('the','be','to','of','and','that','have',
+                               'with'))) AS stop_word_hits
+              FROM rowsig
+            ),
+            gw AS (
+              SELECT doc_id, string_split(norm, ' ') AS ws,
+                     length(norm) AS nchars
+              FROM base
+            ),
+            grams AS (
+              SELECT doc_id, nchars, ws[i] || ' ' || ws[i + 1] AS gram
+              FROM gw, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            gc AS (
+              SELECT doc_id, nchars, gram, count(*) AS c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC)
+                       AS rn
+              FROM grams GROUP BY doc_id, nchars, gram
+            ),
+            tb AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE c * length(gram) * 1.0 / nchars END, 6)
+                       AS top_bigram_char_frac
+              FROM gc WHERE rn = 1
+            )
+            SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_frac,
+                   s.bullet_line_frac, s.ellipsis_line_frac,
+                   s.dup_line_frac, s.dup_line_char_frac, s.stop_word_hits,
+                   coalesce(tb.top_bigram_char_frac, 0.0)
+                     AS top_bigram_char_frac,
+                   (s.n_words BETWEEN 50 AND 100000
+                    AND s.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND s.alpha_word_frac >= 0.80
+                    AND s.bullet_line_frac <= 0.90
+                    AND s.ellipsis_line_frac <= 0.30
+                    AND s.dup_line_frac <= 0.30
+                    AND s.dup_line_char_frac <= 0.20
+                    AND coalesce(tb.top_bigram_char_frac, 0.0) <= 0.20
+                    AND s.stop_word_hits >= 2) AS keep
+            FROM sig s LEFT JOIN tb USING (doc_id)
         """,
         "cosine_topk": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

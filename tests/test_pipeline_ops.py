@@ -903,3 +903,67 @@ def test_substr_dedup_composition_catches_substring_only_dups(spark):
         .filter(F.col("id") != F.col("canonical"))
     )
     assert [r["id"] for r in drop.collect()] == [2]
+
+
+def test_gopher_quality_signals_handcrafted(spark):
+    """Each Gopher rule on a doc built to trip exactly it (the synthetic
+    corpus is single-line, so the line/repetition rules are pinned here)."""
+    from httpz_spark.operators import textquality as Q
+
+    good = ("the quick brown fox likes to be part of that pack and they "
+            "have fun with many other animals running across wide fields "
+            "near the old river bank while keeping a steady easy pace "
+            "through morning light and afternoon shade every single day "
+            "of the long warm summer season out there")
+    rows = [
+        (1, good),
+        (2, "- one\n- two\n- three\n- four"),            # bullet lines
+        (3, "first part...\nsecond bit…\nplain line"),   # ellipsis lines
+        (4, "same line\nsame line\nsame line\nother"),    # dup lines
+        (5, "spam ham " * 40),                            # top-bigram repetition
+        (6, ""),                                          # empty
+        (7, "word"),                                      # single word
+        (8, "1 2 3 4 5 6 7 8 9 10"),                      # no alpha words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["id"]: r for r in Q.gopher_keep(
+        Q.gopher_quality_signals(docs)).collect()}
+
+    g = sig[1]
+    assert g["keep"], g
+    assert g["n_words"] == 51 and g["stop_word_hits"] >= 2
+    assert 3.0 <= g["mean_word_len"] <= 10.0 and g["alpha_word_frac"] == 1.0
+
+    assert sig[2]["bullet_line_frac"] == 1.0 and not sig[2]["keep"]
+    assert abs(sig[3]["ellipsis_line_frac"] - 2 / 3) < 1e-6
+    assert abs(sig[4]["dup_line_frac"] - 0.5) < 1e-6          # 2 distinct / 4
+    d4 = sig[4]
+    # chars: 3 dup occurrences of 'same line' (9) + 'other' (5): 1-14/32
+    assert abs(d4["dup_line_char_frac"] - (1 - 14 / 32)) < 1e-6
+
+    s5 = sig[5]
+    # 'spam ham'/'ham spam' dominate: ~half the chars sit in the top bigram
+    assert s5["top_bigram_char_frac"] > 0.4 and not s5["keep"]
+
+    assert sig[6]["n_words"] == 0 and sig[6]["top_bigram_char_frac"] == 0.0
+    assert not sig[6]["keep"]
+    assert sig[7]["n_words"] == 1 and sig[7]["top_bigram_char_frac"] == 0.0
+    assert sig[8]["alpha_word_frac"] == 0.0 and not sig[8]["keep"]
+
+
+def test_gopher_quality_is_native_except_bigram_agg(spark):
+    """The per-row signal projection plans zero Python stages, and the
+    bigram path is explode + agg + window (no cartesian, no python)."""
+    import contextlib
+    import io
+
+    from httpz_spark.operators import textquality as Q
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        Q.gopher_keep(Q.gopher_quality_signals(docs)).explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
