@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                     help="build the politeness table by fetching and "
                          "parsing each host's /robots.txt (production "
                          "path) instead of the synthetic robots table")
+    ap.add_argument("--sitemap-seeds", action="store_true",
+                    help="augment the seed file with sitemap-discovered "
+                         "page URLs (robots Sitemap: lines -> sitemap/"
+                         "sitemapindex fetch, host-scoped)")
     args = ap.parse_args(argv)
 
     from httpz_spark.config import EngineConfig, ScanConfig
@@ -86,7 +90,26 @@ def main(argv=None) -> int:
         robots,
         scan_cfg, engine_cfg, world, state_dir=args.state,
     )
-    eng.init_frontier(seeds_from_text(spark, args.seeds))
+    seeds = seeds_from_text(spark, args.seeds)
+    if args.sitemap_seeds:
+        from pyspark.sql import functions as F
+
+        from httpz_spark.operators.sitemapfetch import sitemap_seed_frame
+
+        hosts = spark.createDataFrame(
+            [(h,) for h in FB.all_hosts(world)], "host string"
+        )
+        sm = sitemap_seed_frame(hosts, world, partitions=args.partitions)
+        n_sm = sm.count()
+        print(f"sitemap discovery: {n_sm} page URLs", file=sys.stderr)
+        # sitemap seeds carry no shard line number (the reference's shard
+        # contract applies to the seed FILE only); urls_to_frontier reads
+        # just `raw`
+        seeds = seeds.unionByName(sm.select(
+            F.lit(-1).cast("long").alias("line_num"),
+            F.col("loc").alias("raw"),
+        ))
+    eng.init_frontier(seeds)
     results = eng.crawl(max_waves=args.waves)
 
     lineage = eng.store.read("lineage").orderBy("wave_id").collect()
