@@ -296,6 +296,36 @@ def q_training_shard(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_phash_near_dups(spark, sf_dir):
+    """IMAGE near-dup pairs on the payload table's perceptual hash
+    (graft-cell image axis): every 4th fabric image gains a deterministic
+    2-bit-perturbed variant (re-encode/crop stand-in), and the banded
+    hamming join must recover exactly those pairs.  Golden: pure-python
+    xxh64 flip recompute + brute-force popcount over all pairs
+    (scripts/make_goldens.py:golden_phash_near_dups)."""
+    from httpz_spark.operators.dedup import phash_near_pairs
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=192, n_hosts=16)
+    imgs = S.images_df(spark, world, partitions=4).select("image_id", "phash")
+    bit = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+                    for i in range(64)])
+    b1 = F.pmod(F.xxhash64(F.concat(F.lit("pflip1:"), F.col("image_id"))), F.lit(64))
+    b2 = F.pmod(F.xxhash64(F.concat(F.lit("pflip2:"), F.col("image_id"))), F.lit(64))
+    mask = F.element_at(bit, (b1 + 1).cast("int")).bitwiseXOR(
+        F.element_at(bit, (b2 + 1).cast("int")))
+    variants = imgs.filter(
+        F.pmod(F.xxhash64(F.col("image_id")), F.lit(4)) == 0
+    ).select(
+        F.concat(F.col("image_id"), F.lit("_v")).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    allimg = imgs.unionByName(variants)
+    return phash_near_pairs(allimg, max_hamming=2).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1 —
     the rule family RefinedWeb/RedPajama/Dolma reuse) + the published
@@ -702,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validation": _shipped(q_payload_validation),
         "robots_table": _shipped(q_robots_table),
         "sitemap_discovery": _shipped(q_sitemap_discovery),
+        "phash_near_dups": _shipped(q_phash_near_dups),
         "winnow_dup_pairs": _shipped(q_winnow_dup_pairs),
         "pq_ann_topk": _shipped(q_pq_ann_topk),
         "pq_ann_topk_256": _shipped(q_pq_ann_topk_256),
@@ -740,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, allow_csv, "
             "fetch_status"),
         "sitemap_discovery": _golden_sql("sitemap_discovery", "host, loc"),
+        "phash_near_dups": _golden_sql("phash_near_dups", "a, b, hamming"),
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp
                          FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),

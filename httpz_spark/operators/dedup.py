@@ -611,32 +611,70 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 4x16-bit chunks (hamming<=3 ->
-    at least one chunk identical by pigeonhole) then exact hamming verify."""
-    sig = simhash64(docs, text_col, id_col)
-    chunks = sig.select(
-        "id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("c"),
-                         F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-                for c in range(4)
-            ])
-        ).alias("ch"),
-    ).select("id", "simhash", "ch.c", "ch.v")
+def hash_near_pairs(df: DataFrame, hash_col: str, id_col: str = "id",
+                    max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+    """Near-dup pairs ``(a, b, hamming)`` on ANY 64-bit hash column
+    (SimHash, image pHash, ...) via pigeonhole banding: the hash splits
+    into ``bands`` contiguous chunks (default ``max_hamming + 1`` — a
+    pair within the hamming budget must agree on at least one chunk), an
+    equi self-join on (chunk index, chunk value) generates candidates,
+    and native ``bit_count`` verifies exactly.  No all-pairs work
+    anywhere; the shuffle key is the chunk bucket."""
+    bands = bands or (max_hamming + 1)
+    base, rem = divmod(64, bands)
+    widths = [base + 1 if c < rem else base for c in range(bands)]
+    offsets = [sum(widths[:c]) for c in range(bands)]
+    chunk_structs = []
+    for c in range(bands):
+        if widths[c] == 64:
+            v = F.col(hash_col)
+        else:
+            # arithmetic shiftright sign-extends; the mask truncates to
+            # the chunk width, so the top chunk is handled uniformly
+            v = F.shiftright(hash_col, offsets[c]).bitwiseAND(
+                F.lit((1 << widths[c]) - 1)
+            )
+        chunk_structs.append(
+            F.struct(F.lit(c).alias("c"), v.alias("v"))
+        )
+    chunks = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
+        F.explode(F.array(*chunk_structs)).alias("ch"),
+    ).select("id", "_h", "ch.c", "ch.v")
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
                & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            hamming64(F.col("l._h"), F.col("r._h")).alias("hamming"),
         )
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4x16-bit chunks (hamming<=3 ->
+    at least one chunk identical by pigeonhole) then exact hamming verify
+    (the :func:`hash_near_pairs` machinery on the computed signature)."""
+    sig = simhash64(docs, text_col, id_col)
+    return hash_near_pairs(sig, "simhash", "id", max_hamming=max_hamming,
+                           bands=4)
+
+
+def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
+                     id_col: str = "image_id",
+                     max_hamming: int = 2) -> DataFrame:
+    """IMAGE near-dup pairs on the perceptual-hash column of the payload
+    table (north_rule input_hint: ``phash int64``) — re-encoded crops /
+    recompressions of the same picture land within a few pHash bits, the
+    standard image-dedup signal for multimodal training data.  Same
+    banded shape as :func:`simhash_near_pairs`; at 10^10 images the
+    candidate join keys on ``(chunk, value)`` buckets, never all pairs."""
+    return hash_near_pairs(images, phash_col, id_col,
+                           max_hamming=max_hamming)
 
 
 def embedding_near_pairs(

@@ -1002,6 +1002,45 @@ def golden_robots_table():
     }))
 
 
+def golden_phash_near_dups():
+    """Image pHash near-dup pairs: recompute the variant construction with
+    the pure-python xxh64 (pinned against Spark's F.xxhash64) and
+    brute-force popcount over ALL pairs — independent of the engine's
+    banded join."""
+    from httpz_spark.sources.fabric import FabricConfig, image_id_at, image_record
+
+    world = FabricConfig(n_images=192, n_hosts=16)
+    M64 = (1 << 64) - 1
+
+    def signed(v: int) -> int:
+        v &= M64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    imgs = {}
+    for i in range(192):
+        iid = image_id_at(i)
+        imgs[iid] = image_record(iid, world)["phash"]
+    for iid in list(imgs):
+        if xxh64_str(iid) % 4 == 0:
+            b1 = xxh64_str(f"pflip1:{iid}") % 64
+            b2 = xxh64_str(f"pflip2:{iid}") % 64
+            mask = (1 << b1) ^ (1 << b2)
+            imgs[iid + "_v"] = signed(imgs[iid] ^ mask)
+    ids = sorted(imgs)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((imgs[a] ^ imgs[b]) & M64).count("1")
+            if ham <= 2:
+                rows.append((a, b, ham))
+    rows.sort()
+    write_golden("phash_near_dups", pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.string()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # sitemap_discovery — INDEPENDENT model: line-based robots Sitemap parse,
 # stdlib ElementTree XML parsing (vs the engine's native regex <loc>
@@ -1120,6 +1159,7 @@ GOLDENS = {
     "multimodal_decode": golden_multimodal_decode,
     "robots_table": golden_robots_table,
     "sitemap_discovery": golden_sitemap_discovery,
+    "phash_near_dups": golden_phash_near_dups,
     "pq_ann_topk": golden_pq_ann_topk,
     "pq_ann_topk_256": golden_pq_ann_topk_256,
     "ivfpq_ann_topk": golden_ivfpq_ann_topk,

@@ -967,3 +967,43 @@ def test_gopher_quality_is_native_except_bigram_agg(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "MapInPandas" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hash_near_pairs_pigeonhole_and_phash(spark):
+    """The generalized banded hamming join: recall is EXACT within the
+    budget for any band count (pigeonhole), verified against brute force
+    on adversarial bit patterns; phash_near_pairs recovers perturbed
+    image variants."""
+    rows = [
+        (1, 0),
+        (2, 0b111),                      # hamming 3 from id 1
+        (3, 1 << 63),                    # sign bit only
+        (4, (1 << 63) | 1),              # hamming 1 from id 3
+        (5, 0b11 << 31),                 # straddles the 32-bit boundary
+        (6, 0b01 << 31),                 # hamming 1 from id 5
+        (7, -1),                         # all ones
+        (8, -2),                         # hamming 1 from id 7
+    ]
+    signed = [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in rows]
+    df = spark.createDataFrame(signed, "id long, h long")
+    for max_h, bands in ((1, None), (3, 4), (2, 8)):
+        got = {(r["a"], r["b"]): r["hamming"]
+               for r in D.hash_near_pairs(df, "h", "id",
+                                          max_hamming=max_h,
+                                          bands=bands).collect()}
+        want = {}
+        uns = {i: v & ((1 << 64) - 1) for i, v in signed}
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                ham = bin(uns[a[0]] ^ uns[b[0]]).count("1")
+                if ham <= max_h:
+                    want[(a[0], b[0])] = ham
+        assert got == want, (max_h, bands, got, want)
+
+    # phash variants: a 2-bit perturbed copy is always recovered
+    imgs = spark.createDataFrame(
+        [("imgA", 12345), ("imgA_v", 12345 ^ (1 << 5) ^ (1 << 40)),
+         ("imgB", -987654321)],
+        "image_id string, phash long")
+    pairs = {(r["a"], r["b"]) for r in D.phash_near_pairs(imgs).collect()}
+    assert ("imgA", "imgA_v") in pairs and len(pairs) == 1
