@@ -476,12 +476,25 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     broadcast set, as in the other top-k operators) in pure-python float
     order; executors do m gathers + adds per row — no per-row vector math,
     no shuffle before the final tiny per-query top-k."""
-    import pandas as pd
-
     if codebooks is None:
         codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
                      if train else
                      pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    return pq_adc_topk(codes, codebooks, queries, k, id_col, vec_col,
+                       query_id_col)
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame,
+                k: int = 3, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """ADC scoring over an EXISTING codes frame — the query-time half of
+    :func:`pq_ann_topk`, usable directly against a persisted index
+    (:mod:`httpz_spark.operators.simindex`): the corpus embeddings are
+    never touched, only the m-small-ints codes."""
+    import pandas as pd
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
 
@@ -508,8 +521,6 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
             for mi in range(m)
         ]
         luts.append((int(r[query_id_col]), qnorm, ip))
-
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
 
     def score(batches):
         np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]

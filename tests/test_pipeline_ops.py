@@ -1007,3 +1007,49 @@ def test_hash_near_pairs_pigeonhole_and_phash(spark):
         "image_id string, phash long")
     pairs = {(r["a"], r["b"]) for r in D.phash_near_pairs(imgs).collect()}
     assert ("imgA", "imgA_v") in pairs and len(pairs) == 1
+
+
+def test_pq_index_persist_reopen_and_incremental_add(spark, emb, tmp_path):
+    """Build-once/query-many: a persisted PQ index reopened cold gives
+    the same top-k as the direct operator; add() encodes only new rows
+    and is idempotent; an updated embedding shadows its old code."""
+    from httpz_spark.operators.simindex import PQIndex
+
+    root = str(tmp_path / "pqidx")
+    base = emb.filter(F.col("vec_id") < 400)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = PQIndex.build(spark, root, base, m=8, kc=16, train=False)
+    direct = SIM.pq_ann_topk(base, queries, k=3, m=8, kc=16).collect()
+    via_idx = PQIndex.open(spark, root).topk(queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in via_idx]) == \
+           sorted([(r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in direct])
+
+    # incremental add: new rows join the index without re-encoding base
+    extra = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    idx.add(extra)
+    assert idx.codes().count() == 450
+    idx.add(extra)  # idempotent
+    assert idx.codes().count() == 450
+
+    # a query that IS a new row must now find itself at rank 1
+    q2 = emb.filter(F.col("vec_id") == 440).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = min(idx.topk(q2, k=3).collect(), key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 440
+
+    # upsert semantics: re-adding an id with a DIFFERENT embedding
+    # shadows the old code (newest-wins)
+    import numpy as _np
+    new_vec = [float(x) for x in _np.zeros(64)]
+    repl = spark.createDataFrame([(440, new_vec)],
+                                 "vec_id long, embedding array<float>")
+    idx.add(repl)
+    assert idx.codes().count() == 450
+    codes_440 = idx.codes().filter(F.col("vec_id") == 440).collect()[0]["codes"]
+    zero_codes = SIM._pq_encode_rows(_np.zeros((1, 64)), idx.codebooks)[0]
+    assert list(codes_440) == [int(c) for c in zero_codes]
