@@ -591,8 +591,6 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     the driver in sequential pure-python float order (queries are the
     bounded broadcast set), keeping the whole operator bit-reproducible by
     an independent scalar reimplementation."""
-    import pandas as pd
-
     if centroids is None:
         centroids = (train_centroids(corpus, n_centroids, id_col, vec_col)
                      if train else
@@ -601,12 +599,25 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
                      if train else
                      pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-
     cells = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     indexed = cells.select(id_col, "cell").join(codes, id_col)
+    return ivfpq_adc_topk(indexed, centroids, codebooks, queries, k, nprobe,
+                          id_col, vec_col, query_id_col)
+
+
+def ivfpq_adc_topk(indexed: DataFrame, centroids: list, codebooks: list,
+                   queries: DataFrame, k: int = 3, nprobe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Query-time half of :func:`ivfpq_ann_topk` over an EXISTING
+    ``(id, cell, codes)`` frame — usable directly against a persisted
+    index (:mod:`httpz_spark.operators.simindex`); the corpus embeddings
+    are never touched at query time."""
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
 
     normsq = [
         [sum(c[j] * c[j] for j in range(sub)) for c in codebooks[mi]]
@@ -636,7 +647,7 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         ]
         luts[qid] = (qn, ip)
 
-    spark = corpus.sparkSession
+    spark = indexed.sparkSession
     probe_df = F.broadcast(
         spark.createDataFrame(probe_pairs, "query_id long, cell int")
     )

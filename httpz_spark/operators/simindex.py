@@ -25,9 +25,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from httpz_spark.operators.similarity import (
+    _centroid_arrays,
+    ivf_assign,
+    ivfpq_adc_topk,
     pq_adc_topk,
     pq_codebooks_fixed,
     pq_encode,
+    train_centroids,
     train_pq_codebooks,
 )
 from httpz_spark.plans.statestore import StateStore
@@ -100,3 +104,76 @@ class PQIndex:
         embeddings are never read at query time."""
         return pq_adc_topk(self.codes(), self.codebooks, queries, k,
                            self.id_col, self.vec_col, query_id_col)
+
+
+class IVFPQIndex:
+    """Persisted FAISS-IVFPQ-shaped index: coarse centroids + PQ
+    codebooks in the meta file, ``(id, cell, codes)`` rows in the MoR
+    StateStore table.  Query time touches ~nprobe/n_centroids of the
+    codes at ADC cost; the embedding column is never read."""
+
+    META = "ivfpq_meta.json"
+
+    def __init__(self, spark: SparkSession, root: str, centroids: list,
+                 codebooks: list, id_col: str, vec_col: str):
+        self.spark = spark
+        self.root = root
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._store = StateStore(spark, root)
+
+    @classmethod
+    def build(cls, spark: SparkSession, root: str, corpus: DataFrame,
+              n_centroids: int = 16, m: int = 8, kc: int = 16,
+              train: bool = False, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "IVFPQIndex":
+        centroids = (train_centroids(corpus, n_centroids, id_col, vec_col)
+                     if train else
+                     _centroid_arrays(corpus, id_col, vec_col, n_centroids))
+        codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
+                     if train else
+                     pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+        idx = cls(spark, root, centroids, codebooks, id_col, vec_col)
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, cls.META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"centroids": centroids, "codebooks": codebooks,
+                       "id_col": id_col, "vec_col": vec_col}, f)
+        os.replace(tmp, os.path.join(root, cls.META))
+        idx._store.merge_upsert("ivfpq_rows", idx._encode(corpus),
+                                key=id_col)
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "IVFPQIndex":
+        with open(os.path.join(root, cls.META)) as f:
+            meta = json.load(f)
+        return cls(spark, root, meta["centroids"], meta["codebooks"],
+                   meta["id_col"], meta["vec_col"])
+
+    def _encode(self, corpus: DataFrame) -> DataFrame:
+        cells = ivf_assign(corpus.select(self.id_col, self.vec_col),
+                           self.centroids, self.vec_col)
+        codes = pq_encode(corpus, self.codebooks, self.id_col, self.vec_col)
+        return cells.select(self.id_col, "cell").join(codes, self.id_col)
+
+    def add(self, new_corpus: DataFrame) -> int:
+        """Assign + encode ONLY the new rows and MERGE them (idempotent;
+        newest-wins on re-ingested ids)."""
+        return self._store.merge_upsert("ivfpq_rows",
+                                        self._encode(new_corpus),
+                                        key=self.id_col)
+
+    def rows(self) -> DataFrame:
+        df = self._store.read("ivfpq_rows")
+        if df is None:
+            raise FileNotFoundError(f"no ivfpq_rows table under {self.root}")
+        return df
+
+    def topk(self, queries: DataFrame, k: int = 3, nprobe: int = 4,
+             query_id_col: str = "query_id") -> DataFrame:
+        return ivfpq_adc_topk(self.rows(), self.centroids, self.codebooks,
+                              queries, k, nprobe, self.id_col, self.vec_col,
+                              query_id_col)

@@ -1053,3 +1053,34 @@ def test_pq_index_persist_reopen_and_incremental_add(spark, emb, tmp_path):
     codes_440 = idx.codes().filter(F.col("vec_id") == 440).collect()[0]["codes"]
     zero_codes = SIM._pq_encode_rows(_np.zeros((1, 64)), idx.codebooks)[0]
     assert list(codes_440) == [int(c) for c in zero_codes]
+
+
+def test_ivfpq_index_persist_reopen_and_add(spark, emb, tmp_path):
+    """Persisted IVFPQ index: reopen-cold top-k == direct operator;
+    incremental add lands only new rows, newest-wins."""
+    from httpz_spark.operators.simindex import IVFPQIndex
+
+    root = str(tmp_path / "ivfpqidx")
+    base = emb.filter(F.col("vec_id") < 400)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    IVFPQIndex.build(spark, root, base, n_centroids=16, m=8, kc=16)
+    direct = SIM.ivfpq_ann_topk(base, queries, k=3, n_centroids=16,
+                                nprobe=4, m=8, kc=16).collect()
+    idx = IVFPQIndex.open(spark, root)
+    via = idx.topk(queries, k=3, nprobe=4).collect()
+    assert sorted([(r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in via]) == \
+           sorted([(r["query_id"], r["neighbor_id"], r["rank"])
+                   for r in direct])
+
+    extra = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
+    idx.add(extra)
+    assert idx.rows().count() == 440
+    idx.add(extra)
+    assert idx.rows().count() == 440
+    q2 = emb.filter(F.col("vec_id") == 420).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = min(idx.topk(q2, k=3, nprobe=4).collect(), key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 420  # its own cell is its top probe
