@@ -345,7 +345,8 @@ def q_gopher_quality(spark, sf_dir):
         "mean_word_len", "alpha_word_frac", "bullet_line_frac",
         "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
         F.col("stop_word_hits").cast("long").alias("stop_word_hits"),
-        "top_bigram_char_frac", "keep",
+        "top_bigram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac", "keep",
     )
 
 
@@ -1105,30 +1106,85 @@ def oracle_sql() -> dict[str, str]:
                      length(norm) AS nchars
               FROM base
             ),
-            grams AS (
-              SELECT doc_id, nchars, ws[i] || ' ' || ws[i + 1] AS gram
-              FROM gw, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+            g2 AS (
+              SELECT doc_id, nchars,
+                     array_to_string(ws[i:i+1], ' ') AS gram
+              FROM gw, unnest(range(1, greatest(len(ws) - 0, 1))) AS t2(i)
               WHERE len(ws) >= 2
             ),
-            gc AS (
+            g3 AS (
+              SELECT doc_id, nchars,
+                     array_to_string(ws[i:i+2], ' ') AS gram
+              FROM gw, unnest(range(1, greatest(len(ws) - 1, 1))) AS t3(i)
+              WHERE len(ws) >= 3
+            ),
+            g4 AS (
+              SELECT doc_id, nchars,
+                     array_to_string(ws[i:i+3], ' ') AS gram
+              FROM gw, unnest(range(1, greatest(len(ws) - 2, 1))) AS t4(i)
+              WHERE len(ws) >= 4
+            ),
+            g5 AS (
+              SELECT doc_id, nchars,
+                     array_to_string(ws[i:i+4], ' ') AS gram
+              FROM gw, unnest(range(1, greatest(len(ws) - 3, 1))) AS t5(i)
+              WHERE len(ws) >= 5
+            ),
+            gc2 AS (
               SELECT doc_id, nchars, gram, count(*) AS c,
                      row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY count(*) DESC, gram ASC)
-                       AS rn
-              FROM grams GROUP BY doc_id, nchars, gram
+                                        ORDER BY count(*) DESC, gram ASC) AS rn
+              FROM g2 GROUP BY doc_id, nchars, gram
             ),
-            tb AS (
+            tb2 AS (
               SELECT doc_id,
                      round(CASE WHEN nchars = 0 THEN 0.0
-                           ELSE c * length(gram) * 1.0 / nchars END, 6)
-                       AS top_bigram_char_frac
-              FROM gc WHERE rn = 1
+                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
+              FROM gc2 WHERE rn = 1
+            ),
+            gc3 AS (
+              SELECT doc_id, nchars, gram, count(*) AS c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC) AS rn
+              FROM g3 GROUP BY doc_id, nchars, gram
+            ),
+            tb3 AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
+              FROM gc3 WHERE rn = 1
+            ),
+            gc4 AS (
+              SELECT doc_id, nchars, gram, count(*) AS c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC) AS rn
+              FROM g4 GROUP BY doc_id, nchars, gram
+            ),
+            tb4 AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
+              FROM gc4 WHERE rn = 1
+            ),
+            gd5 AS (
+              SELECT doc_id, nchars, gram, count(*) AS c
+              FROM g5 GROUP BY doc_id, nchars, gram
+            ),
+            db5 AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE least(1.0,
+                                sum(CASE WHEN c > 1 THEN c * length(gram)
+                                    ELSE 0 END) * 1.0 / nchars) END, 6) AS v
+              FROM gd5 GROUP BY doc_id, nchars
             )
             SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_frac,
                    s.bullet_line_frac, s.ellipsis_line_frac,
                    s.dup_line_frac, s.dup_line_char_frac, s.stop_word_hits,
-                   coalesce(tb.top_bigram_char_frac, 0.0)
-                     AS top_bigram_char_frac,
+                   coalesce(tb2.v, 0.0) AS top_bigram_char_frac,
+                   coalesce(tb3.v, 0.0) AS top_3gram_char_frac,
+                   coalesce(tb4.v, 0.0) AS top_4gram_char_frac,
+                   coalesce(db5.v, 0.0) AS dup_5gram_char_frac,
                    (s.n_words BETWEEN 50 AND 100000
                     AND s.mean_word_len BETWEEN 3.0 AND 10.0
                     AND s.alpha_word_frac >= 0.80
@@ -1136,9 +1192,16 @@ def oracle_sql() -> dict[str, str]:
                     AND s.ellipsis_line_frac <= 0.30
                     AND s.dup_line_frac <= 0.30
                     AND s.dup_line_char_frac <= 0.20
-                    AND coalesce(tb.top_bigram_char_frac, 0.0) <= 0.20
-                    AND s.stop_word_hits >= 2) AS keep
-            FROM sig s LEFT JOIN tb USING (doc_id)
+                    AND s.stop_word_hits >= 2
+                    AND coalesce(tb2.v, 0.0) <= 0.20
+                    AND coalesce(tb3.v, 0.0) <= 0.18
+                    AND coalesce(tb4.v, 0.0) <= 0.16
+                    AND coalesce(db5.v, 0.0) <= 0.15) AS keep
+            FROM sig s
+            LEFT JOIN tb2 ON s.doc_id = tb2.doc_id
+            LEFT JOIN tb3 ON s.doc_id = tb3.doc_id
+            LEFT JOIN tb4 ON s.doc_id = tb4.doc_id
+            LEFT JOIN db5 ON s.doc_id = db5.doc_id
         """,
         "cosine_topk": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

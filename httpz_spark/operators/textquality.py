@@ -105,23 +105,19 @@ def gopher_row_signals(text: Column) -> Column:
     return F.element_at(F.transform(F.array(bound), _of), 1)
 
 
-def top_bigram_char_frac(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """(id, top_bigram_char_frac) — the repetition signal that needs an
-    aggregation: explode word 2-grams, count per (doc, gram), keep each
-    doc's max count with the lexicographically smallest gram on ties.
-    Docs with < 2 words get 0.0."""
-    from pyspark.sql.window import Window
-
+def _gram_counts(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, _nchars, gram, _c) — word n-gram occurrence counts per doc
+    (explode + one map-side-combined groupBy; docs with < n words emit a
+    single NULL gram so every doc survives to the signal join)."""
     norm = normalize_ws_ascii(F.col(text_col))
     words_expr = F.split(norm, " ")
 
     def _grams(words):
-        n = F.size(words)
-        idxs = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+        sz = F.size(words)
+        idxs = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
         return F.when(
-            n >= 2,
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+            sz >= n,
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
         ).otherwise(F.array().cast("array<string>"))
 
     grams = F.element_at(F.transform(F.array(words_expr), _grams), 1)
@@ -130,7 +126,20 @@ def top_bigram_char_frac(docs: DataFrame, text_col: str = "text",
         F.length(norm).alias("_nchars"),
         F.explode_outer(grams).alias("gram"),
     )
-    counts = g.groupBy("id", "_nchars", "gram").agg(F.count("*").alias("_c"))
+    return g.groupBy("id", "_nchars", "gram").agg(F.count("*").alias("_c"))
+
+
+def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        out_col: str | None = None) -> DataFrame:
+    """(id, <out_col>) — characters covered by each doc's MOST FREQUENT
+    word n-gram: ``count * len(gram) / len(norm)``; ties break to the
+    lexicographically smallest gram (deterministic).  Docs with < n
+    words get 0.0.  Gopher applies this for n = 2, 3, 4."""
+    from pyspark.sql.window import Window
+
+    out_col = out_col or f"top_{n}gram_char_frac"
+    counts = _gram_counts(docs, n, text_col, id_col)
     w = Window.partitionBy("id").orderBy(
         F.col("_c").desc(), F.col("gram").asc_nulls_last()
     )
@@ -145,19 +154,69 @@ def top_bigram_char_frac(docs: DataFrame, text_col: str = "text",
                 / F.col("_nchars").cast("double")
             ),
             6,
-        ).alias("top_bigram_char_frac"),
+        ).alias(out_col),
+    )
+
+
+def top_bigram_char_frac(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Backward-compatible alias: n=2 of :func:`top_ngram_char_frac`."""
+    return top_ngram_char_frac(docs, 2, text_col, id_col,
+                               out_col="top_bigram_char_frac")
+
+
+def dup_ngram_char_frac(docs: DataFrame, n: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        out_col: str | None = None) -> DataFrame:
+    """(id, <out_col>) — fraction of characters carried by DUPLICATED
+    word n-grams: ``min(1, sum over grams with count>1 of count*len(gram)
+    / len(norm))`` (occurrences may overlap, hence the cap — the
+    documented convention; Gopher applies this for n = 5..10).  Docs with
+    < n words get 0.0."""
+    out_col = out_col or f"dup_{n}gram_char_frac"
+    counts = _gram_counts(docs, n, text_col, id_col)
+    agg = counts.groupBy("id", "_nchars").agg(
+        F.sum(
+            F.when(
+                F.col("gram").isNotNull() & (F.col("_c") > 1),
+                F.col("_c") * F.length("gram"),
+            ).otherwise(F.lit(0))
+        ).alias("_dupchars")
+    )
+    return agg.select(
+        "id",
+        F.round(
+            F.when(F.col("_nchars") == 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_dupchars") / F.col("_nchars").cast("double"),
+                )
+            ),
+            6,
+        ).alias(out_col),
     )
 
 
 def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
-    """All signals as one frame: per-row natives + the bigram join."""
-    row = docs.select(
+                           id_col: str = "doc_id",
+                           top_ns: tuple = (2, 3, 4),
+                           dup_ns: tuple = (5,)) -> DataFrame:
+    """All signals as one frame: per-row natives + one aggregation join
+    per n-gram signal (Gopher's full repetition battery is top 2/3/4-gram
+    + dup 5..10-gram; the defaults compute 2/3/4 + 5 — pass wider tuples
+    for the complete set).  The n=2 column keeps its historical name
+    ``top_bigram_char_frac``."""
+    out = docs.select(
         F.col(id_col).alias("id"),
         gopher_row_signals(F.col(text_col)).alias("s"),
     ).select("id", "s.*")
-    bg = top_bigram_char_frac(docs, text_col, id_col)
-    return row.join(bg, "id")
+    for n in top_ns:
+        col = "top_bigram_char_frac" if n == 2 else None
+        out = out.join(top_ngram_char_frac(docs, n, text_col, id_col,
+                                           out_col=col), "id")
+    for n in dup_ns:
+        out = out.join(dup_ngram_char_frac(docs, n, text_col, id_col), "id")
+    return out
 
 
 def gopher_keep(
@@ -170,9 +229,15 @@ def gopher_keep(
     max_dup_line_frac: float = 0.30,
     max_dup_line_char_frac: float = 0.20,
     max_top_bigram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+    max_top_4gram_char_frac: float = 0.16,
+    max_dup_5gram_char_frac: float = 0.15,
     min_stop_word_hits: int = 2,
 ) -> DataFrame:
-    """Adds ``keep boolean`` per the (parameterized) Gopher thresholds."""
+    """Adds ``keep boolean`` per the (parameterized) Gopher thresholds.
+    N-gram thresholds apply only when their column is present, so callers
+    of :func:`gopher_quality_signals` with narrower ``top_ns``/``dup_ns``
+    still compose."""
     c = F.col
     keep = (
         c("n_words").between(min_words, max_words)
@@ -182,7 +247,12 @@ def gopher_keep(
         & (c("ellipsis_line_frac") <= max_ellipsis_line_frac)
         & (c("dup_line_frac") <= max_dup_line_frac)
         & (c("dup_line_char_frac") <= max_dup_line_char_frac)
-        & (c("top_bigram_char_frac") <= max_top_bigram_char_frac)
         & (c("stop_word_hits") >= min_stop_word_hits)
     )
+    for col, thr in (("top_bigram_char_frac", max_top_bigram_char_frac),
+                     ("top_3gram_char_frac", max_top_3gram_char_frac),
+                     ("top_4gram_char_frac", max_top_4gram_char_frac),
+                     ("dup_5gram_char_frac", max_dup_5gram_char_frac)):
+        if col in signals.columns:
+            keep = keep & (c(col) <= thr)
     return signals.withColumn("keep", keep)

@@ -944,10 +944,18 @@ def test_gopher_quality_signals_handcrafted(spark):
     s5 = sig[5]
     # 'spam ham'/'ham spam' dominate: ~half the chars sit in the top bigram
     assert s5["top_bigram_char_frac"] > 0.4 and not s5["keep"]
+    # the wider repetition battery: top 3/4-grams also dominate, and
+    # EVERY 5-gram repeats -> dup-5-gram char coverage caps at 1.0
+    assert s5["top_3gram_char_frac"] > 0.4
+    assert s5["top_4gram_char_frac"] > 0.4
+    assert s5["dup_5gram_char_frac"] == 1.0
+    # the clean doc has no repeated 5-grams at all
+    assert sig[1]["dup_5gram_char_frac"] == 0.0
 
     assert sig[6]["n_words"] == 0 and sig[6]["top_bigram_char_frac"] == 0.0
     assert not sig[6]["keep"]
     assert sig[7]["n_words"] == 1 and sig[7]["top_bigram_char_frac"] == 0.0
+    assert sig[7]["dup_5gram_char_frac"] == 0.0
     assert sig[8]["alpha_word_frac"] == 0.0 and not sig[8]["keep"]
 
 
