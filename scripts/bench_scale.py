@@ -42,7 +42,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = [
     "exact_dedup", "text_stats", "lang_id", "winnow_fingerprints",
     "ngram_jaccard_dups", "minhash_lsh_dups", "simhash_near_dups",
-    "dedup_clusters", "training_shard",
+    "dedup_clusters", "training_shard", "training_shard_substr",
+    "gopher_quality", "winnow_dup_pairs",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfpq_ann_topk",
     "embedding_near_dups",
 ]

@@ -246,3 +246,17 @@ def test_scheduled_deferred_split_is_exact_filter(spark, crawl_frames):
         assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
     # both sides carry the politeness window machinery
     assert "windowspecdefinition" in ps and "windowspecdefinition" in pd_
+
+
+def test_phash_and_gopher_plan_shapes(spark, sf_dir):
+    """The round-5 additions keep the candidate-generation discipline:
+    the banded hamming join is an equi self-join (never cartesian), and
+    the gopher n-gram signals add no python stages."""
+    p = plan_of(E.queries()["phash_near_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+    p = plan_of(E.queries()["gopher_quality"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # no python stage anywhere in this query's pipeline (the documents
+    # input is a plain parquet scan)
+    assert "MapInPandas" not in p, p
