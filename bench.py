@@ -174,7 +174,7 @@ def table_queries(spark) -> tuple:
         "text_stats", "ngram_jaccard_dups", "minhash_lsh_dups",
         "cosine_topk", "url_canonicalize", "shard_filter",
         "training_shard", "winnow_fingerprints", "pq_ann_topk",
-        "pq_ann_topk_256",
+        "pq_ann_topk_256", "gopher_quality",
     ]
     qs = E.queries()
     times, loads = {}, {}
