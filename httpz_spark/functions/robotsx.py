@@ -172,8 +172,13 @@ def robots_rules(disallow: Column, allow: Column) -> Column:
             )
         return f
 
+    # F.concat is NULL-propagating: a host row with rules on only ONE of
+    # the two lines must degrade to "the other side is empty", never to a
+    # NULL rule set (which robots_path_allowed reads as allow-everything).
+    empty = F.array().cast("array<string>")
     return F.concat(
-        F.transform(disallow, _rule(0)), F.transform(allow, _rule(1))
+        F.transform(F.coalesce(disallow, empty), _rule(0)),
+        F.transform(F.coalesce(allow, empty), _rule(1)),
     )
 
 

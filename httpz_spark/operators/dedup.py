@@ -620,7 +620,16 @@ def hash_near_pairs(df: DataFrame, hash_col: str, id_col: str = "id",
     equi self-join on (chunk index, chunk value) generates candidates,
     and native ``bit_count`` verifies exactly.  No all-pairs work
     anywhere; the shuffle key is the chunk bucket."""
-    bands = bands or (max_hamming + 1)
+    if bands is None:
+        bands = max_hamming + 1
+    if not (max_hamming + 1 <= bands <= 64):
+        # fewer bands than the pigeonhole bound silently misses pairs
+        # within the hamming budget; fail loudly like the PQ dim checks
+        raise ValueError(
+            f"bands={bands} must satisfy max_hamming+1 <= bands <= 64 "
+            f"(max_hamming={max_hamming}): pigeonhole guarantees recall "
+            f"only when a pair within budget must agree on >=1 chunk"
+        )
     base, rem = divmod(64, bands)
     widths = [base + 1 if c < rem else base for c in range(bands)]
     offsets = [sum(widths[:c]) for c in range(bands)]

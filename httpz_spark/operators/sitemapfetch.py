@@ -38,6 +38,7 @@ from httpz_spark.functions.sitemapx import (
 from httpz_spark.operators.robotsfetch import fetch_robots
 from httpz_spark.sources.fabric import FabricConfig, FabricTransport
 from httpz_spark.sources.transport import drive_scan_sync
+from httpz_spark.storage import release_local_checkpoint
 
 MAX_SITEMAP_BYTES = 10 * 1024 * 1024  # sitemaps.org caps documents at 50 MB
 # uncompressed; 10 MiB bounds executor memory for the synthetic path
@@ -154,6 +155,12 @@ def sitemap_seed_frame(hosts: DataFrame, fabric_cfg: FabricConfig,
     column is a full URL)."""
     robots = fetch_robots(hosts, fabric_cfg, host_col, transport_factory,
                           partitions)
+    # sm is consumed by THREE plan branches (l0 fetch, index cycle guard,
+    # urlset explode via ok0) and l0 by two; without a barrier each action
+    # re-runs the robots/sitemap mapInPandas fetches, duplicating real
+    # network traffic and — with a non-deterministic transport — letting
+    # the branches observe DIFFERENT fetch outcomes.  Eager-checkpoint
+    # both (the _finish_pairs discipline from dedup), release on exit.
     sm = (
         robots.filter(F.col("fetch_status") == 200)
         .select("host",
@@ -161,8 +168,10 @@ def sitemap_seed_frame(hosts: DataFrame, fabric_cfg: FabricConfig,
                 .alias("sitemap_url"))
         .filter(loc_host_matches(F.col("sitemap_url"), F.col("host")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    l0 = fetch_sitemap_urls(sm, fabric_cfg, transport_factory, partitions)
+    l0 = fetch_sitemap_urls(sm, fabric_cfg, transport_factory, partitions
+                            ).localCheckpoint(eager=True)
     ok0 = l0.filter(F.col("fetch_status") == 200)
     children = (
         ok0.filter(sitemap_is_index(F.col("body")))
@@ -185,9 +194,16 @@ def sitemap_seed_frame(hosts: DataFrame, fabric_cfg: FabricConfig,
             .filter(~sitemap_is_index(F.col("body")))
         )
     )
-    return (
+    seeds = (
         urlsets.select("host",
                        F.explode(sitemap_locs(F.col("body"))).alias("loc"))
         .filter(loc_host_matches(F.col("loc"), F.col("host")))
         .distinct()
+        # materialize the (small: host+url strings) seed list so the two
+        # fetch barriers can be released before returning; the caller gets
+        # a frame with no live dependency on sm/l0
+        .localCheckpoint(eager=True)
     )
+    release_local_checkpoint(l0)
+    release_local_checkpoint(sm)
+    return seeds

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from httpz_spark.plans.frontier import FRONTIER_COLS, CrawlEngine, urls_to_frontier
+from httpz_spark.storage import release_local_checkpoint
 
 
 class StreamingSeedIngest:
@@ -329,6 +330,9 @@ def make_unseen_batch_handler(out_dir: str, seen_dir: str,
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
         compact_seen(spark, batch_id)
+        # checkpoint blocks bypass the CacheManager (storage.py): without
+        # an explicit release a long run accretes O(total batches) storage
+        release_local_checkpoint(accepted)
 
     handle.recent_seen_dirs = recent_seen_dirs  # test hooks
     handle.seen_before = seen_before

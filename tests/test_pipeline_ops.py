@@ -1092,3 +1092,19 @@ def test_ivfpq_index_persist_reopen_and_add(spark, emb, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding")
     top = min(idx.topk(q2, k=3, nprobe=4).collect(), key=lambda r: r["rank"])
     assert top["neighbor_id"] == 420  # its own cell is its top probe
+
+
+def test_hash_near_pairs_rejects_bad_band_counts(spark):
+    """bands below the pigeonhole bound (or above 64) would silently lose
+    recall; the operator fails loudly instead (ADVICE r5)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id long, h long")
+    for max_h, bands in ((3, 3), (3, 2), (1, 65), (2, 0)):
+        with pytest.raises(ValueError, match="bands"):
+            D.hash_near_pairs(df, "h", "id", max_hamming=max_h, bands=bands)
+    # boundary values are fine
+    assert D.hash_near_pairs(df, "h", "id", max_hamming=1,
+                             bands=2).count() == 1
+    assert D.hash_near_pairs(df, "h", "id", max_hamming=1,
+                             bands=64).count() == 1

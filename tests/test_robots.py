@@ -359,3 +359,28 @@ def test_parse_projection_is_native(spark):
         robots_from_texts(fetched).explain("formatted")
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_null_allow_does_not_disable_disallow(spark):
+    """A robots row with rules on only ONE line must not degrade to
+    allow-everything: F.concat is NULL-propagating, so robots_rules
+    coalesces each side to an empty array (ADVICE r5)."""
+    for disallow, allow in (
+        (["/private/"], None),          # NULL allow: disallow enforced
+        (None, ["/ok"]),                # NULL disallow: nothing blocked
+        (None, None),                   # both NULL: allow-all
+    ):
+        df = spark.createDataFrame(
+            [("/private/x",), ("/ok",)], "path string")
+        rules = robots_rules(
+            F.lit(disallow).cast("array<string>"),
+            F.lit(allow).cast("array<string>"),
+        )
+        got = {r["path"]: r["ok"] for r in df.select(
+            "path", robots_path_allowed(F.col("path"), rules).alias("ok")
+        ).collect()}
+        want = {
+            "/private/x": not (disallow and "/private/" in disallow),
+            "/ok": True,
+        }
+        assert got == want, (disallow, allow, got)
