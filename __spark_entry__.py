@@ -385,6 +385,55 @@ def q_training_shard_substr(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+_EVAL_SPLIT = 7  # documents with doc_id % 10 == _EVAL_SPLIT play the eval corpus
+
+
+def q_decontam(spark, sf_dir):
+    """Eval-set decontamination report (GPT-3 appendix-C rule): distinct
+    shared word-5-grams between each training doc and the benchmark
+    corpus (docs with doc_id%10==7 standing in as the eval set).  The
+    eval gram table is broadcast — the check is a map-side hash join
+    against the train shingle stream (operators/decontam.py)."""
+    from httpz_spark.operators.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(10)) == _EVAL_SPLIT
+    rep = contamination_report(d.filter(~is_eval), d.filter(is_eval), ngram=5)
+    return rep.select(
+        "doc_id",
+        F.col("n_overlap_grams").cast("long").alias("n_overlap_grams"),
+        F.col("n_eval_docs").cast("long").alias("n_eval_docs"),
+    )
+
+
+def q_training_shard_decontam(spark, sf_dir):
+    """Capstone with eval decontamination composed in — the full
+    LLM-training-data shape: near-dup pairs over the TRAIN split ->
+    connected components -> canonical-doc keep, UNION the eval-overlap
+    drop-list (5-gram, min_overlap=1), then the quality gate."""
+    from httpz_spark.operators.decontam import contaminated_ids
+    from httpz_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from httpz_spark.operators.textstats import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(10)) == _EVAL_SPLIT
+    train, evald = d.filter(~is_eval), d.filter(is_eval)
+    dup_drop = (
+        dedup_clusters(ngram_jaccard_pairs(train, threshold=0.2))
+        .filter(F.col("id") != F.col("canonical"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    contam = contaminated_ids(train, evald, ngram=5)
+    kept = train.join(dup_drop.unionByName(contam).distinct(),
+                      "doc_id", "left_anti")
+    t = F.col("text")
+    return kept.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -715,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _shipped(q_dedup_clusters),
         "training_shard": _shipped(q_training_shard),
         "training_shard_substr": _shipped(q_training_shard_substr),
+        "decontam": _shipped(q_decontam),
+        "training_shard_decontam": _shipped(q_training_shard_decontam),
         "gopher_quality": _shipped(q_gopher_quality),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
@@ -1052,6 +1103,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, quality FROM scored
             WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
         """,
+        # eval-set decontamination: distinct shared word-5-grams between
+        # each train doc (doc_id%10 != 7) and the eval split (== 7); the
+        # shingle CTE mirrors word_shingles incl. the short-doc fallback
+        "decontam": f"""
+            WITH {_shingle_cte(5)}
+            SELECT tr.doc_id,
+                   count(DISTINCT tr.shingle) AS n_overlap_grams,
+                   count(DISTINCT ev.eval_id) AS n_eval_docs
+            FROM (SELECT doc_id, shingle FROM sh
+                  WHERE doc_id % 10 != {_EVAL_SPLIT}) tr
+            JOIN (SELECT doc_id AS eval_id, shingle FROM sh
+                  WHERE doc_id % 10 = {_EVAL_SPLIT}) ev
+              ON tr.shingle = ev.shingle
+            GROUP BY tr.doc_id
+        """,
+        # capstone + decontamination: pair graph over the TRAIN split only,
+        # drop-list = CC non-canonicals UNION eval-overlap docs
+        "training_shard_decontam": f"""
+            WITH RECURSIVE tr AS (
+              SELECT * FROM documents WHERE doc_id % 10 != {_EVAL_SPLIT}
+            ),
+            {_ngram_pairs_ctes(src="tr")},
+            {_shingle_cte(5, name="sh5")},
+            contam AS (
+              SELECT DISTINCT t.doc_id AS id
+              FROM (SELECT doc_id, shingle FROM sh5
+                    WHERE doc_id % 10 != {_EVAL_SPLIT}) t
+              JOIN (SELECT DISTINCT shingle FROM sh5
+                    WHERE doc_id % 10 = {_EVAL_SPLIT}) e
+                ON t.shingle = e.shingle
+            ),
+            e AS (
+              SELECT a AS x, b AS y FROM p
+              UNION
+              SELECT b AS x, a AS y FROM p
+            ),
+            reach(id, r) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS canonical FROM reach GROUP BY id),
+            drops AS (
+              SELECT id FROM comp WHERE id != canonical
+              UNION
+              SELECT id FROM contam
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN {_NORM_DUCK} = '' THEN 0
+                          ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tokens,
+                     round(
+                       (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                             WHEN length(text) > 2000 THEN 0.7
+                             ELSE length(text) / 100.0 END) * 0.4
+                     + (CASE WHEN p2 <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p2 - 0.1) * 5.0) END) * 0.3
+                     + least(1.0, s2 * 10.0) * 0.3, 6) AS quality
+              FROM (
+                SELECT *,
+                  (length(text) - length(regexp_replace(text,
+                      '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) AS p2,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('the','and','of','to','is'))) * 1.0
+                      / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s2
+                FROM tr
+              )
+            )
+            SELECT doc_id, n_tokens, quality FROM scored
+            WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
+        """,
         # Gopher quality: every formula replayed in SQL (per-row signals
         # over the same normalized text; top bigram via unnest + group by
         # + window, lexicographically-smallest gram on count ties)
@@ -1221,14 +1344,31 @@ def oracle_sql() -> dict[str, str]:
 _NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
 
 
-def _ngram_pairs_ctes() -> str:
+def _shingle_cte(k: int, src: str = "documents", name: str = "sh") -> str:
+    """One CTE producing ``name(doc_id, shingle)`` — per-doc-distinct
+    word-``k``-grams of the normalized lowered text, with the whole-text
+    fallback for docs shorter than ``k`` words (mirrors
+    operators/dedup.py:word_shingles exactly)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(k))
+    return f"""
+            {name} AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ws) >= {k} THEN {gram}
+                          ELSE array_to_string(ws, ' ') END AS shingle
+              FROM (SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws
+                    FROM {src}),
+                   unnest(range(1, greatest(len(ws) - {k - 2}, 2))) AS u(i)
+            )"""
+
+
+def _ngram_pairs_ctes(src: str = "documents") -> str:
     """Shared CTE chain producing the exact ngram-Jaccard duplicate pairs
     (threshold 0.2) as CTE ``p(a, b)`` — used verbatim by the
     ngram_jaccard_dups oracle and as the input graph of the
     dedup_clusters oracle."""
     return f"""
             w AS (
-              SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws FROM documents
+              SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws FROM {src}
             ),
             sh AS (
               SELECT DISTINCT doc_id,
