@@ -329,9 +329,10 @@ def q_phash_near_dups(spark, sf_dir):
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1 —
     the rule family RefinedWeb/RedPajama/Dolma reuse) + the published
-    keep thresholds.  Everything per-row native except the top-bigram
-    signal (explode + per-doc agg); the oracle is REAL SQL replaying
-    every formula."""
+    keep thresholds, now the COMPLETE battery (top 2/3/4-gram + dup
+    5..10-gram) computed in a single n-gram pass (one explode, two
+    shuffles — textquality.ngram_signal_frame); the oracle is REAL SQL
+    replaying every formula."""
     from httpz_spark.operators.textquality import (
         gopher_keep,
         gopher_quality_signals,
@@ -346,7 +347,9 @@ def q_gopher_quality(spark, sf_dir):
         "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
         F.col("stop_word_hits").cast("long").alias("stop_word_hits"),
         "top_bigram_char_frac", "top_3gram_char_frac",
-        "top_4gram_char_frac", "dup_5gram_char_frac", "keep",
+        "top_4gram_char_frac",
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+        "keep",
     )
 
 
@@ -1176,9 +1179,128 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
         """,
         # Gopher quality: every formula replayed in SQL (per-row signals
-        # over the same normalized text; top bigram via unnest + group by
-        # + window, lexicographically-smallest gram on count ties)
-        "gopher_quality": f"""
+        # over the same normalized text; per-n gram CTEs generated by
+        # _gopher_oracle_sql — top gram via window with the
+        # lexicographically-smallest tie-break, dup fractions capped at 1)
+        "gopher_quality": _gopher_oracle_sql(),
+        "cosine_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+            QUALIFY rank <= 5
+        """,
+    }
+
+
+_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _shingle_cte(k: int, src: str = "documents", name: str = "sh") -> str:
+    """One CTE producing ``name(doc_id, shingle)`` — per-doc-distinct
+    word-``k``-grams of the normalized lowered text, with the whole-text
+    fallback for docs shorter than ``k`` words (mirrors
+    operators/dedup.py:word_shingles exactly)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(k))
+    return f"""
+            {name} AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ws) >= {k} THEN {gram}
+                          ELSE array_to_string(ws, ' ') END AS shingle
+              FROM (SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws
+                    FROM {src}),
+                   unnest(range(1, greatest(len(ws) - {k - 2}, 2))) AS u(i)
+            )"""
+
+
+_GOPHER_TOP_NS = (2, 3, 4)
+_GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+# published Gopher thresholds (Rae et al. 2021 Table A1)
+_GOPHER_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_THRESH = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gopher_oracle_sql() -> str:
+    """The full gopher_quality oracle, with the per-n gram CTEs GENERATED
+    (the Spark side computes all n in one pass — ngram_signal_frame; the
+    oracle replays each n independently, which is fine for DuckDB at
+    sf0.01): g{n} = the gram stream, tb{n} = top-gram char fraction with
+    the lexicographically-smallest tie-break, db{n} = duplicated-gram
+    char fraction capped at 1.0."""
+    top_ns, dup_ns = _GOPHER_TOP_NS, _GOPHER_DUP_NS
+    grams = ",".join(
+        f"""
+            g{n} AS (
+              SELECT doc_id, nchars,
+                     array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+              FROM gw, unnest(range(1, greatest(len(ws) - {n - 2}, 1))) AS t{n}(i)
+              WHERE len(ws) >= {n}
+            )"""
+        for n in sorted(set(top_ns) | set(dup_ns))
+    )
+    tops = ",".join(
+        f"""
+            gc{n} AS (
+              SELECT doc_id, nchars, gram, count(*) AS c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC) AS rn
+              FROM g{n} GROUP BY doc_id, nchars, gram
+            ),
+            tb{n} AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
+              FROM gc{n} WHERE rn = 1
+            )"""
+        for n in top_ns
+    )
+    dups = ",".join(
+        f"""
+            gd{n} AS (
+              SELECT doc_id, nchars, gram, count(*) AS c
+              FROM g{n} GROUP BY doc_id, nchars, gram
+            ),
+            db{n} AS (
+              SELECT doc_id,
+                     round(CASE WHEN nchars = 0 THEN 0.0
+                           ELSE least(1.0,
+                                sum(CASE WHEN c > 1 THEN c * length(gram)
+                                    ELSE 0 END) * 1.0 / nchars) END, 6) AS v
+              FROM gd{n} GROUP BY doc_id, nchars
+            )"""
+        for n in dup_ns
+    )
+
+    def _name(n: int) -> str:
+        return "top_bigram_char_frac" if n == 2 else f"top_{n}gram_char_frac"
+
+    out_cols = "".join(
+        f",\n                   coalesce(tb{n}.v, 0.0) AS {_name(n)}"
+        for n in top_ns
+    ) + "".join(
+        f",\n                   coalesce(db{n}.v, 0.0) AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    keep_ngram = "".join(
+        f"\n                    AND coalesce(tb{n}.v, 0.0) <= {_GOPHER_TOP_THRESH[n]}"
+        for n in top_ns
+    ) + "".join(
+        f"\n                    AND coalesce(db{n}.v, 0.0) <= {_GOPHER_DUP_THRESH[n]}"
+        for n in dup_ns
+    )
+    joins = "".join(
+        f"\n            LEFT JOIN tb{n} ON s.doc_id = tb{n}.doc_id"
+        for n in top_ns
+    ) + "".join(
+        f"\n            LEFT JOIN db{n} ON s.doc_id = db{n}.doc_id"
+        for n in dup_ns
+    )
+    return f"""
             WITH base AS (
               SELECT doc_id, text, {_NORM_DUCK} AS norm,
                      list_filter(string_split(text, chr(10)),
@@ -1228,86 +1350,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(norm, ' ') AS ws,
                      length(norm) AS nchars
               FROM base
-            ),
-            g2 AS (
-              SELECT doc_id, nchars,
-                     array_to_string(ws[i:i+1], ' ') AS gram
-              FROM gw, unnest(range(1, greatest(len(ws) - 0, 1))) AS t2(i)
-              WHERE len(ws) >= 2
-            ),
-            g3 AS (
-              SELECT doc_id, nchars,
-                     array_to_string(ws[i:i+2], ' ') AS gram
-              FROM gw, unnest(range(1, greatest(len(ws) - 1, 1))) AS t3(i)
-              WHERE len(ws) >= 3
-            ),
-            g4 AS (
-              SELECT doc_id, nchars,
-                     array_to_string(ws[i:i+3], ' ') AS gram
-              FROM gw, unnest(range(1, greatest(len(ws) - 2, 1))) AS t4(i)
-              WHERE len(ws) >= 4
-            ),
-            g5 AS (
-              SELECT doc_id, nchars,
-                     array_to_string(ws[i:i+4], ' ') AS gram
-              FROM gw, unnest(range(1, greatest(len(ws) - 3, 1))) AS t5(i)
-              WHERE len(ws) >= 5
-            ),
-            gc2 AS (
-              SELECT doc_id, nchars, gram, count(*) AS c,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY count(*) DESC, gram ASC) AS rn
-              FROM g2 GROUP BY doc_id, nchars, gram
-            ),
-            tb2 AS (
-              SELECT doc_id,
-                     round(CASE WHEN nchars = 0 THEN 0.0
-                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
-              FROM gc2 WHERE rn = 1
-            ),
-            gc3 AS (
-              SELECT doc_id, nchars, gram, count(*) AS c,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY count(*) DESC, gram ASC) AS rn
-              FROM g3 GROUP BY doc_id, nchars, gram
-            ),
-            tb3 AS (
-              SELECT doc_id,
-                     round(CASE WHEN nchars = 0 THEN 0.0
-                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
-              FROM gc3 WHERE rn = 1
-            ),
-            gc4 AS (
-              SELECT doc_id, nchars, gram, count(*) AS c,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY count(*) DESC, gram ASC) AS rn
-              FROM g4 GROUP BY doc_id, nchars, gram
-            ),
-            tb4 AS (
-              SELECT doc_id,
-                     round(CASE WHEN nchars = 0 THEN 0.0
-                           ELSE c * length(gram) * 1.0 / nchars END, 6) AS v
-              FROM gc4 WHERE rn = 1
-            ),
-            gd5 AS (
-              SELECT doc_id, nchars, gram, count(*) AS c
-              FROM g5 GROUP BY doc_id, nchars, gram
-            ),
-            db5 AS (
-              SELECT doc_id,
-                     round(CASE WHEN nchars = 0 THEN 0.0
-                           ELSE least(1.0,
-                                sum(CASE WHEN c > 1 THEN c * length(gram)
-                                    ELSE 0 END) * 1.0 / nchars) END, 6) AS v
-              FROM gd5 GROUP BY doc_id, nchars
-            )
+            ),{grams},{tops},{dups}
             SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_frac,
                    s.bullet_line_frac, s.ellipsis_line_frac,
-                   s.dup_line_frac, s.dup_line_char_frac, s.stop_word_hits,
-                   coalesce(tb2.v, 0.0) AS top_bigram_char_frac,
-                   coalesce(tb3.v, 0.0) AS top_3gram_char_frac,
-                   coalesce(tb4.v, 0.0) AS top_4gram_char_frac,
-                   coalesce(db5.v, 0.0) AS dup_5gram_char_frac,
+                   s.dup_line_frac, s.dup_line_char_frac,
+                   s.stop_word_hits{out_cols},
                    (s.n_words BETWEEN 50 AND 100000
                     AND s.mean_word_len BETWEEN 3.0 AND 10.0
                     AND s.alpha_word_frac >= 0.80
@@ -1315,50 +1362,9 @@ def oracle_sql() -> dict[str, str]:
                     AND s.ellipsis_line_frac <= 0.30
                     AND s.dup_line_frac <= 0.30
                     AND s.dup_line_char_frac <= 0.20
-                    AND s.stop_word_hits >= 2
-                    AND coalesce(tb2.v, 0.0) <= 0.20
-                    AND coalesce(tb3.v, 0.0) <= 0.18
-                    AND coalesce(tb4.v, 0.0) <= 0.16
-                    AND coalesce(db5.v, 0.0) <= 0.15) AS keep
-            FROM sig s
-            LEFT JOIN tb2 ON s.doc_id = tb2.doc_id
-            LEFT JOIN tb3 ON s.doc_id = tb3.doc_id
-            LEFT JOIN tb4 ON s.doc_id = tb4.doc_id
-            LEFT JOIN db5 ON s.doc_id = db5.doc_id
-        """,
-        "cosine_topk": """
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(c.embedding::DOUBLE[],
-                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-                                                     q.embedding::DOUBLE[]) DESC,
-                              c.vec_id) AS rank
-            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-            QUALIFY rank <= 5
-        """,
-    }
-
-
-_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
-
-
-def _shingle_cte(k: int, src: str = "documents", name: str = "sh") -> str:
-    """One CTE producing ``name(doc_id, shingle)`` — per-doc-distinct
-    word-``k``-grams of the normalized lowered text, with the whole-text
-    fallback for docs shorter than ``k`` words (mirrors
-    operators/dedup.py:word_shingles exactly)."""
-    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(k))
-    return f"""
-            {name} AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN len(ws) >= {k} THEN {gram}
-                          ELSE array_to_string(ws, ' ') END AS shingle
-              FROM (SELECT doc_id, string_split({_NORM_DUCK_LOWER}, ' ') AS ws
-                    FROM {src}),
-                   unnest(range(1, greatest(len(ws) - {k - 2}, 2))) AS u(i)
-            )"""
+                    AND s.stop_word_hits >= 2{keep_ngram}) AS keep
+            FROM sig s{joins}
+        """
 
 
 def _ngram_pairs_ctes(src: str = "documents") -> str:

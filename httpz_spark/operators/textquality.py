@@ -2,12 +2,14 @@
 "Scaling Language Models: Methods, Analysis & Insights from Training
 Gopher", 2021, §A1.1 — the rule family RefinedWeb/RedPajama/Dolma reuse).
 
-Everything except the top-bigram signal is a pure per-row native
-expression (whole-stage codegen, no shuffle); the top-bigram fraction is
-an explode + per-doc aggregation — the scale shape for "most common
-n-gram per document" at corpus size (one shuffle on doc_id, map-side
-combined).  Every formula is deliberately ANSI-SQL-replayable so the
-DuckDB oracle checks values exactly (★gopher_quality).
+Everything except the n-gram signals is a pure per-row native expression
+(whole-stage codegen, no shuffle); the n-gram repetition battery (top
+2/3/4-gram + dup 5..10-gram fractions) is computed in a SINGLE pass —
+one explode emitting ``(n, gram)`` for every requested n, one
+map-side-combined count, one per-doc conditional aggregation
+(:func:`ngram_signal_frame`) — instead of one explode+shuffle+join per
+n.  Every formula is deliberately ANSI-SQL-replayable so the DuckDB
+oracle checks values exactly (★gopher_quality).
 
 Signal definitions (documented precisely, so downstream thresholds mean
 the same thing on both sides):
@@ -105,28 +107,141 @@ def gopher_row_signals(text: Column) -> Column:
     return F.element_at(F.transform(F.array(bound), _of), 1)
 
 
-def _gram_counts(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, _nchars, gram, _c) — word n-gram occurrence counts per doc
-    (explode + one map-side-combined groupBy; docs with < n words emit a
-    single NULL gram so every doc survives to the signal join)."""
+def ngram_signal_frame(docs: DataFrame, top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5,), text_col: str = "text",
+                       id_col: str = "doc_id",
+                       input_partitions: int | str | None = "auto") -> DataFrame:
+    """SINGLE-PASS n-gram repetition battery: one frame ``(id,
+    top_{n}gram_char_frac..., dup_{n}gram_char_frac...)`` for every
+    requested n, built from ONE explode of the corpus and TWO shuffles
+    total — vs one explode+groupBy+window+join PER n.
+
+    Plan shape (the 100-TB consideration): the normalized word array is
+    let-bound once; a single generator emits ``struct(n, gram)`` rows for
+    all requested n (a doc with < n words emits one ``(n, NULL)``
+    placeholder so every doc reaches the output); one map-side-combined
+    ``groupBy(id, n, gram)`` counts occurrences; one conditional
+    aggregation per doc then extracts, per n, the top gram via
+    ``min(struct(-count, gram))`` — identical selection to ``ORDER BY
+    count DESC, gram ASC LIMIT 1`` (the deterministic lexicographic
+    tie-break) without a window shuffle — and the duplicated-gram char
+    sum.  Shuffle volume is the gram stream ONCE, keyed by (id, n, gram),
+    instead of |top_ns|+|dup_ns| separate explode+shuffle+join passes.
+
+    ``input_partitions``: the gram generator amplifies each input row
+    ~|ns|×len(doc) — if the scan is under-split (a small parquet file
+    with one row group reads as a handful of partitions), the whole
+    battery serializes onto those few cores.  ``"auto"`` (default)
+    repartitions the minimal (id, text) projection up to
+    ``defaultParallelism`` ONLY when the input has fewer partitions than
+    that — a no-op on any real at-scale input (a 100 TB corpus reads as
+    ~10^5 splits), and on a cluster where it does trigger, pre-spreading
+    a below-parallelism input before a 9× explode is the right trade.
+    Pass ``None`` to never shuffle the text, or an int to force."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns:
+        raise ValueError("at least one n required in top_ns/dup_ns")
+    if min(ns) < 1:
+        raise ValueError(f"n-gram sizes must be >= 1: {ns}")
     norm = normalize_ws_ascii(F.col(text_col))
     words_expr = F.split(norm, " ")
+    struct_t = "array<struct<n:int,gram:string>>"
 
-    def _grams(words):
+    def _all_grams(words):
         sz = F.size(words)
-        idxs = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
-        return F.when(
-            sz >= n,
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
-        ).otherwise(F.array().cast("array<string>"))
 
-    grams = F.element_at(F.transform(F.array(words_expr), _grams), 1)
-    g = docs.select(
-        F.col(id_col).alias("id"),
-        F.length(norm).alias("_nchars"),
-        F.explode_outer(grams).alias("gram"),
+        def _mk(n):  # closure factory: never capture the loop var in a lambda
+            return lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(words, i + 1, n)).alias("gram"),
+            )
+
+        parts = [
+            F.when(
+                sz >= n,
+                F.transform(F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0))),
+                            _mk(n)),
+            ).otherwise(
+                F.array(F.struct(
+                    F.lit(n).alias("n"),
+                    F.lit(None).cast("string").alias("gram"),
+                )).cast(struct_t)
+            )
+            for n in ns
+        ]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    src = docs.select(F.col(id_col).alias(id_col), F.col(text_col))
+    if input_partitions == "auto":
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+    elif input_partitions:
+        src = src.repartition(int(input_partitions))
+    # let-bind the split: Catalyst does no CSE across HOF lambda
+    # boundaries, so referencing words_expr per n would re-normalize per n
+    grams = F.element_at(F.transform(F.array(words_expr), _all_grams), 1)
+    counts = (
+        src.select(
+            F.col(id_col).alias("id"),
+            F.length(norm).alias("_nchars"),
+            F.explode(grams).alias("g"),
+        )
+        .select("id", "_nchars", F.col("g.n").alias("_n"),
+                F.col("g.gram").alias("gram"))
+        .groupBy("id", "_nchars", "_n", "gram")
+        .agg(F.count("*").alias("_c"))
     )
-    return g.groupBy("id", "_nchars", "gram").agg(F.count("*").alias("_c"))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_n") == n,
+                F.struct((-F.col("_c")).alias("_negc"),
+                         F.col("gram").alias("gram")),
+            )
+        ).alias(f"_t{n}")
+        for n in top_ns
+    ] + [
+        F.sum(
+            F.when(
+                (F.col("_n") == n) & F.col("gram").isNotNull()
+                & (F.col("_c") > 1),
+                F.col("_c") * F.length("gram"),
+            )
+        ).alias(f"_d{n}")
+        for n in dup_ns
+    ]
+    per = counts.groupBy("id", "_nchars").agg(*aggs)
+
+    def _topcol(n):
+        t = F.col(f"_t{n}")
+        return F.round(
+            F.when(
+                t.isNull() | t.getField("gram").isNull()
+                | (F.col("_nchars") == 0),
+                F.lit(0.0),
+            ).otherwise(
+                (-t.getField("_negc")) * F.length(t.getField("gram"))
+                / F.col("_nchars").cast("double")
+            ),
+            6,
+        ).alias(f"top_{n}gram_char_frac")
+
+    def _dupcol(n):
+        return F.round(
+            F.when(F.col("_nchars") == 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col(f"_d{n}"), F.lit(0))
+                    / F.col("_nchars").cast("double"),
+                )
+            ),
+            6,
+        ).alias(f"dup_{n}gram_char_frac")
+
+    return per.select(
+        "id", *[_topcol(n) for n in top_ns], *[_dupcol(n) for n in dup_ns]
+    )
 
 
 def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text",
@@ -136,26 +251,10 @@ def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text",
     word n-gram: ``count * len(gram) / len(norm)``; ties break to the
     lexicographically smallest gram (deterministic).  Docs with < n
     words get 0.0.  Gopher applies this for n = 2, 3, 4."""
-    from pyspark.sql.window import Window
-
-    out_col = out_col or f"top_{n}gram_char_frac"
-    counts = _gram_counts(docs, n, text_col, id_col)
-    w = Window.partitionBy("id").orderBy(
-        F.col("_c").desc(), F.col("gram").asc_nulls_last()
-    )
-    top = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return top.select(
-        "id",
-        F.round(
-            F.when(
-                F.col("gram").isNull() | (F.col("_nchars") == 0), F.lit(0.0)
-            ).otherwise(
-                F.col("_c") * F.length("gram")
-                / F.col("_nchars").cast("double")
-            ),
-            6,
-        ).alias(out_col),
-    )
+    out = ngram_signal_frame(docs, top_ns=(n,), dup_ns=(), text_col=text_col,
+                             id_col=id_col)
+    return out.withColumnRenamed(f"top_{n}gram_char_frac",
+                                 out_col or f"top_{n}gram_char_frac")
 
 
 def top_bigram_char_frac(docs: DataFrame, text_col: str = "text",
@@ -173,49 +272,31 @@ def dup_ngram_char_frac(docs: DataFrame, n: int = 5, text_col: str = "text",
     / len(norm))`` (occurrences may overlap, hence the cap — the
     documented convention; Gopher applies this for n = 5..10).  Docs with
     < n words get 0.0."""
-    out_col = out_col or f"dup_{n}gram_char_frac"
-    counts = _gram_counts(docs, n, text_col, id_col)
-    agg = counts.groupBy("id", "_nchars").agg(
-        F.sum(
-            F.when(
-                F.col("gram").isNotNull() & (F.col("_c") > 1),
-                F.col("_c") * F.length("gram"),
-            ).otherwise(F.lit(0))
-        ).alias("_dupchars")
-    )
-    return agg.select(
-        "id",
-        F.round(
-            F.when(F.col("_nchars") == 0, F.lit(0.0)).otherwise(
-                F.least(
-                    F.lit(1.0),
-                    F.col("_dupchars") / F.col("_nchars").cast("double"),
-                )
-            ),
-            6,
-        ).alias(out_col),
-    )
+    out = ngram_signal_frame(docs, top_ns=(), dup_ns=(n,), text_col=text_col,
+                             id_col=id_col)
+    return out.withColumnRenamed(f"dup_{n}gram_char_frac",
+                                 out_col or f"dup_{n}gram_char_frac")
 
 
 def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            top_ns: tuple = (2, 3, 4),
-                           dup_ns: tuple = (5,)) -> DataFrame:
-    """All signals as one frame: per-row natives + one aggregation join
-    per n-gram signal (Gopher's full repetition battery is top 2/3/4-gram
-    + dup 5..10-gram; the defaults compute 2/3/4 + 5 — pass wider tuples
-    for the complete set).  The n=2 column keeps its historical name
+                           dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """All signals as one frame: per-row natives + ONE single-pass n-gram
+    battery (:func:`ngram_signal_frame`) joined back once.  The defaults
+    now compute Gopher's COMPLETE repetition battery (top 2/3/4-gram +
+    dup 5..10-gram).  The n=2 column keeps its historical name
     ``top_bigram_char_frac``."""
     out = docs.select(
         F.col(id_col).alias("id"),
         gopher_row_signals(F.col(text_col)).alias("s"),
     ).select("id", "s.*")
-    for n in top_ns:
-        col = "top_bigram_char_frac" if n == 2 else None
-        out = out.join(top_ngram_char_frac(docs, n, text_col, id_col,
-                                           out_col=col), "id")
-    for n in dup_ns:
-        out = out.join(dup_ngram_char_frac(docs, n, text_col, id_col), "id")
+    if top_ns or dup_ns:
+        ng = ngram_signal_frame(docs, top_ns, dup_ns, text_col, id_col)
+        if 2 in top_ns:
+            ng = ng.withColumnRenamed("top_2gram_char_frac",
+                                      "top_bigram_char_frac")
+        out = out.join(ng, "id")
     return out
 
 
@@ -232,6 +313,11 @@ def gopher_keep(
     max_top_3gram_char_frac: float = 0.18,
     max_top_4gram_char_frac: float = 0.16,
     max_dup_5gram_char_frac: float = 0.15,
+    max_dup_6gram_char_frac: float = 0.14,
+    max_dup_7gram_char_frac: float = 0.13,
+    max_dup_8gram_char_frac: float = 0.12,
+    max_dup_9gram_char_frac: float = 0.11,
+    max_dup_10gram_char_frac: float = 0.10,
     min_stop_word_hits: int = 2,
 ) -> DataFrame:
     """Adds ``keep boolean`` per the (parameterized) Gopher thresholds.
@@ -252,7 +338,12 @@ def gopher_keep(
     for col, thr in (("top_bigram_char_frac", max_top_bigram_char_frac),
                      ("top_3gram_char_frac", max_top_3gram_char_frac),
                      ("top_4gram_char_frac", max_top_4gram_char_frac),
-                     ("dup_5gram_char_frac", max_dup_5gram_char_frac)):
+                     ("dup_5gram_char_frac", max_dup_5gram_char_frac),
+                     ("dup_6gram_char_frac", max_dup_6gram_char_frac),
+                     ("dup_7gram_char_frac", max_dup_7gram_char_frac),
+                     ("dup_8gram_char_frac", max_dup_8gram_char_frac),
+                     ("dup_9gram_char_frac", max_dup_9gram_char_frac),
+                     ("dup_10gram_char_frac", max_dup_10gram_char_frac)):
         if col in signals.columns:
             keep = keep & (c(col) <= thr)
     return signals.withColumn("keep", keep)

@@ -952,11 +952,61 @@ def test_gopher_quality_signals_handcrafted(spark):
     # the clean doc has no repeated 5-grams at all
     assert sig[1]["dup_5gram_char_frac"] == 0.0
 
+    # the full dup battery is present by default and consistent
+    assert s5["dup_10gram_char_frac"] == 1.0
+    assert sig[1]["dup_10gram_char_frac"] == 0.0
+
     assert sig[6]["n_words"] == 0 and sig[6]["top_bigram_char_frac"] == 0.0
     assert not sig[6]["keep"]
     assert sig[7]["n_words"] == 1 and sig[7]["top_bigram_char_frac"] == 0.0
     assert sig[7]["dup_5gram_char_frac"] == 0.0
     assert sig[8]["alpha_word_frac"] == 0.0 and not sig[8]["keep"]
+
+
+def test_ngram_signal_frame_matches_python_model(spark):
+    """The single-pass battery (one explode, min(struct) top-gram trick)
+    equals a brute-force python recompute for every n in 2..10, including
+    the lexicographic tie-break and the short-doc zero fallback."""
+    from collections import Counter
+
+    from httpz_spark.operators import textquality as Q
+
+    rows = [
+        (1, "b a b a c a b a"),                    # heavy bigram ties
+        (2, "x y z x y z x y z w"),                # repeated 3-grams
+        (3, "one two three four five six"),        # no repeats at all
+        (4, "t t t t t t t t t t t t"),            # single token repeated
+        (5, "short"),                              # < n for every n
+        (6, ""),                                   # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    got = {r["id"]: r for r in
+           Q.ngram_signal_frame(docs, top_ns, dup_ns).collect()}
+
+    for did, text in rows:
+        ws = " ".join(text.split()).split(" ") if text.strip() else [""]
+        norm = " ".join(text.split())
+        nch = len(norm)
+        for n in top_ns:
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)] \
+                if len(ws) >= n else []
+            if not grams or nch == 0:
+                want = 0.0
+            else:
+                c = Counter(grams)
+                top = min(sorted(c), key=lambda g: (-c[g], g))
+                want = round(c[top] * len(top) / nch, 6)
+            assert abs(got[did][f"top_{n}gram_char_frac"] - want) < 1e-9, \
+                (did, n, got[did][f"top_{n}gram_char_frac"], want)
+        for n in dup_ns:
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)] \
+                if len(ws) >= n else []
+            c = Counter(grams)
+            dupch = sum(v * len(g) for g, v in c.items() if v > 1)
+            want = 0.0 if nch == 0 else round(min(1.0, dupch / nch), 6)
+            assert abs(got[did][f"dup_{n}gram_char_frac"] - want) < 1e-9, \
+                (did, n, got[did][f"dup_{n}gram_char_frac"], want)
 
 
 def test_gopher_quality_is_native_except_bigram_agg(spark):

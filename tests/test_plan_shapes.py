@@ -260,3 +260,9 @@ def test_phash_and_gopher_plan_shapes(spark, sf_dir):
     # no python stage anywhere in this query's pipeline (the documents
     # input is a plain parquet scan)
     assert "MapInPandas" not in p, p
+    # SINGLE-PASS battery: all 9 n-gram signals (top 2/3/4 + dup 5..10)
+    # come from ONE explode of the corpus — exactly one Generate node in
+    # the whole physical plan, and no window (the top-gram tie-break is a
+    # min(struct) aggregation, not a row_number)
+    assert p.count(") Generate") == 1, p  # detail headers: one per node
+    assert "windowspecdefinition" not in p, p
