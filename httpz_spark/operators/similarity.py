@@ -485,28 +485,119 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                        query_id_col)
 
 
+def _adc_normsq(codebooks: list) -> list:
+    """Per-code squared reconstruction norms, pure-python sequential order
+    (shared by the driver and distributed ADC paths)."""
+    sub = len(codebooks[0][0])
+    return [
+        [sum(c[j] * c[j] for j in range(sub)) for c in book]
+        for book in codebooks
+    ]
+
+
+def _np_query_luts(Qm: "np.ndarray", codebooks: list):
+    """``(qnorm (q,), ip [m x (q, kc)])`` — the per-query ADC lookup
+    tables, vectorized ACROSS queries but with the exact accumulation
+    order of the pure-python driver path (left-to-right adds per dim, one
+    ``** 0.5``), so both paths are bit-identical.  Runs executor-side in
+    the distributed path."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if Qm.shape[1] != m * sub:  # trailing-dim truncation must fail loudly
+        raise ValueError(
+            f"query dim {Qm.shape[1]} != m*sub = {m}*{sub} of the codebooks"
+        )
+    q = Qm.shape[0]
+    qsq = np.zeros(q, dtype=np.float64)
+    for j in range(m * sub):
+        qsq = qsq + Qm[:, j] * Qm[:, j]
+    qnorm = qsq ** 0.5
+    ip = []
+    for mi in range(m):
+        kc = len(codebooks[mi])
+        t = np.empty((q, kc), dtype=np.float64)
+        for ki in range(kc):
+            acc = np.zeros(q, dtype=np.float64)
+            for j in range(sub):
+                acc = acc + Qm[:, mi * sub + j] * codebooks[mi][ki][j]
+            t[:, ki] = acc
+        ip.append(t)
+    return qnorm, ip
+
+
+def _select_topk(qrows: "np.ndarray", ids: "np.ndarray",
+                 scores: "np.ndarray", k: int):
+    """Exact per-query top-k by (score desc, id asc) over ragged
+    candidate triples — fully vectorized (lexsort + first-occurrence
+    rank), no per-query python loop."""
+    order = np.lexsort((ids, -scores, qrows))
+    qr, iD, sc_ = qrows[order], ids[order], scores[order]
+    first = np.searchsorted(qr, qr, side="left")
+    keep = (np.arange(len(qr)) - first) < k
+    return qr[keep], iD[keep], sc_[keep]
+
+
+def _collect_queries(queries: DataFrame, query_id_col: str, vec_col: str):
+    """One Arrow transfer of the query frame -> (ids int64, Qm float64).
+    Both ADC paths start here: the driver path builds python LUTs from
+    it; the distributed path broadcasts the raw matrix (8*Q*d bytes — a
+    10^6 x 64-d query set is ~0.5 GB, the practical ceiling) and builds
+    LUTs executor-side."""
+    qpdf = queries.select(query_id_col, vec_col).orderBy(query_id_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Qm = (np.asarray([list(map(float, v)) for v in qpdf[vec_col]],
+                     dtype=np.float64)
+          if len(qpdf) else np.zeros((0, 0), dtype=np.float64))
+    return qids, Qm
+
+
 def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame,
                 k: int = 3, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                q_max: int = 1024,
+                distributed: bool | None = None) -> DataFrame:
     """ADC scoring over an EXISTING codes frame — the query-time half of
     :func:`pq_ann_topk`, usable directly against a persisted index
     (:mod:`httpz_spark.operators.simindex`): the corpus embeddings are
-    never touched, only the m-small-ints codes."""
+    never touched, only the m-small-ints codes.
+
+    Two bit-identical execution paths, switched on ``q_max``:
+
+    * **driver path** (Q <= q_max, the FAISS few-queries/huge-corpus
+      shape): LUTs built on the driver in pure-python float order and
+      shipped in the task closure; executors do m gathers + adds per
+      (row, query).
+    * **distributed path** (Q > q_max, corpus-vs-corpus retrieval): the
+      raw query matrix is broadcast (torrent, not closure), LUTs are
+      built ONCE PER TASK inside the Arrow stage with numpy
+      (:func:`_np_query_luts` — same accumulation order, bit-equal), the
+      (q x batch) score matrix is computed chunk-wise with zero per-query
+      python loops, and each task pre-reduces to its LOCAL top-k per
+      query (exact, (score desc, id asc)) so the shuffle into the final
+      window is P*Q*k rows instead of Q*N.
+
+    ``distributed=None`` picks by comparing Q to ``q_max``; pass
+    True/False to force a path."""
+    qids, Qm = _collect_queries(queries, query_id_col, vec_col)
+    if distributed is None:
+        distributed = len(qids) > q_max
+    if distributed and len(qids):
+        return _pq_adc_topk_dist(codes, codebooks, qids, Qm, k, id_col)
+    return _pq_adc_topk_driver(codes, codebooks, qids, Qm, k, id_col)
+
+
+def _pq_adc_topk_driver(codes: DataFrame, codebooks: list,
+                        qids: "np.ndarray", Qm: "np.ndarray", k: int,
+                        id_col: str) -> DataFrame:
     import pandas as pd
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
-
-    # per-code squared norms, pure-python sequential order
-    normsq = [
-        [sum(c[j] * c[j] for j in range(sub)) for c in codebooks[mi]]
-        for mi in range(m)
-    ]
-    qrows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    normsq = _adc_normsq(codebooks)
     luts = []  # (query_id, qnorm, ip[mi][ki])
-    for r in qrows:
-        qv = list(map(float, r[vec_col]))
+    for qi in range(len(qids)):
+        qv = [float(x) for x in Qm[qi]]
         if len(qv) != m * sub:  # trailing-dim truncation must fail loudly
             raise ValueError(
                 f"query dim {len(qv)} != m*sub = {m}*{sub} of the codebooks"
@@ -520,7 +611,7 @@ def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame,
              for c in codebooks[mi]]
             for mi in range(m)
         ]
-        luts.append((int(r[query_id_col]), qnorm, ip))
+        luts.append((int(qids[qi]), qnorm, ip))
 
     def score(batches):
         np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
@@ -559,6 +650,76 @@ def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_adc_topk_dist(codes: DataFrame, codebooks: list,
+                      qids: "np.ndarray", Qm: "np.ndarray", k: int,
+                      id_col: str) -> DataFrame:
+    """Distributed ADC: the raw query matrix rides a torrent broadcast,
+    each task builds the LUTs ONCE with :func:`_np_query_luts` (bit-equal
+    to the driver path), scores chunk-wise with a (Q x chunk) gather+add
+    matrix, and pre-reduces to its local exact top-k per query so the
+    shuffle into the final window is O(tasks * Q * k), never Q * N."""
+    import pandas as pd
+
+    m = len(codebooks)
+    normsq = _adc_normsq(codebooks)
+    bq = codes.sparkSession.sparkContext.broadcast((qids, Qm))
+
+    def score(batches):
+        b_qids, b_Qm = bq.value
+        qn, ip = _np_query_luts(b_Qm, codebooks)
+        np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
+        Q = len(b_qids)
+        # chunk the corpus so the (Q x chunk) score matrix stays ~32 MB
+        chunk = max(1, (1 << 22) // max(Q, 1))
+        acc = []  # [(qrow, id, score)] arrays, task-local top-k accumulator
+        acc_len = 0
+
+        def reduced():
+            qr = np.concatenate([a[0] for a in acc])
+            iD = np.concatenate([a[1] for a in acc])
+            sc_ = np.concatenate([a[2] for a in acc])
+            return _select_topk(qr, iD, sc_, k)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray([list(c) for c in pdf["codes"]], dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            nsum = np_normsq[0][C[:, 0]]
+            for mi in range(1, m):
+                nsum = nsum + np_normsq[mi][C[:, mi]]
+            rnorm = np.sqrt(nsum)
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                S = ip[0][:, C[lo:hi, 0]]
+                for mi in range(1, m):
+                    S = S + ip[mi][:, C[lo:hi, mi]]
+                S = S / (qn[:, None] * rnorm[None, lo:hi])
+                n = hi - lo
+                qrows = np.repeat(np.arange(Q, dtype=np.int64), n)
+                cids = np.tile(ids[lo:hi], Q)
+                acc.append(_select_topk(qrows, cids, S.ravel(), k))
+                acc_len += len(acc[-1][0])
+                if acc_len > 4 * Q * k:
+                    acc = [reduced()]
+                    acc_len = len(acc[0][0])
+        if acc_len:
+            qr, iD, sc_ = reduced()
+            yield pd.DataFrame({
+                "query_id": b_qids[qr],
+                "neighbor_id": iD,
+                "approx_cos": sc_,
+            })
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _seq_dot(a, b) -> float:
     acc = 0.0
     for x, y in zip(a, b):
@@ -572,12 +733,123 @@ def _seq_cos(a, b) -> float:
     return _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
 
 
+def _np_assign_cells(X: "np.ndarray", centroids: list) -> "np.ndarray":
+    """Driver-side nearest-centroid-by-cosine assignment (first max wins)
+    — the numpy analogue of :func:`ivf_assign`'s batch path, used where a
+    bounded sample needs cells without a Spark job (residual codebook
+    derivation)."""
+    Cn = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    return np.argmax(X @ Cn.T, axis=1)
+
+
+def residual_codebooks_fixed(corpus: DataFrame, centroids: list,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding", m: int = 8,
+                             kc: int = 16) -> list:
+    """Untrained residual codebooks: the (v - centroid) residuals of the
+    ``kc`` smallest-id embeddings, split per subspace (the residual
+    analogue of :func:`pq_codebooks_fixed`; deterministic)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(kc).collect()
+    X = np.asarray([list(map(float, r[vec_col])) for r in rows],
+                   dtype=np.float64)
+    d = X.shape[1]
+    if d % m:  # silent truncation of d % m trailing dims skews approx_cos
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    C = np.asarray(centroids, dtype=np.float64)
+    R = X - C[_np_assign_cells(X, centroids)]
+    sub = d // m
+    return [[[float(x) for x in R[vi, mi * sub:(mi + 1) * sub]]
+             for vi in range(len(R))] for mi in range(m)]
+
+
+def train_residual_pq_codebooks(corpus: DataFrame, centroids: list,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding", m: int = 8,
+                                kc: int = 16, sample_per_code: int = 32,
+                                iters: int = 10, seed: int = 42) -> list:
+    """Per-subspace k-means over RESIDUALS (v - nearest centroid) — the
+    FAISS IVFPQ training rule: the codebooks model what's left after the
+    coarse quantizer, so the same (m, kc) budget spends its resolution on
+    a much tighter distribution.  Same bounded-deterministic-sample +
+    driver-numpy discipline as :func:`train_pq_codebooks`."""
+    n_sample = kc * sample_per_code
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:  # misconfigured m must fail loudly, never skew approx_cos
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    C = np.asarray(centroids, dtype=np.float64)
+    R = X - C[_np_assign_cells(X, centroids)]
+    sub = d // m
+    books = []
+    rng = np.random.Generator(np.random.PCG64(seed))
+    for mi in range(m):
+        S = R[:, mi * sub:(mi + 1) * sub]
+        B = S[rng.choice(len(S), size=min(kc, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newB = B.copy()
+            for j in range(len(B)):
+                pts = S[assign == j]
+                if len(pts):
+                    newB[j] = pts.mean(axis=0)
+            if np.allclose(newB, B):
+                break
+            B = newB
+        books.append([list(map(float, c)) for c in B])
+    return books
+
+
+def ivfpq_encode(corpus: DataFrame, centroids: list, codebooks: list,
+                 residual: bool = False, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """``(id, cell, codes)`` index rows in one pass: cell assignment
+    (native or numpy batch), then PQ codes of either the raw vector or —
+    ``residual=True``, the FAISS IVFPQ rule — of ``v - centroid[cell]``
+    (both subtractions and the encode accumulate per dim in scalar order,
+    so an independent scalar model reproduces every code)."""
+    import pandas as pd
+
+    cells = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
+    if not residual:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+        return cells.select(id_col, "cell").join(codes, id_col)
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = _pq_encode_rows(X - C[cell], codebooks)
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "cell": cell.astype(np.int32),
+                "codes": [list(map(int, c)) for c in codes],
+            })
+
+    return cells.select(id_col, vec_col, "cell").mapInPandas(
+        enc, schema="id long, cell int, codes array<int>"
+    ).withColumnRenamed("id", id_col)
+
+
 def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                    n_centroids: int = 16, nprobe: int = 4, m: int = 8,
                    kc: int = 16, centroids: list | None = None,
                    codebooks: list | None = None, train: bool = False,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   query_id_col: str = "query_id") -> DataFrame:
+                   query_id_col: str = "query_id",
+                   residual: bool = False,
+                   q_max: int = 1024,
+                   distributed: bool | None = None) -> DataFrame:
     """FAISS-IVFPQ composition: the coarse quantizer prunes the corpus to
     each query's ``nprobe`` nearest cells, and ADC over PQ codes scores
     ONLY those candidates — the two approximations multiply, and so do the
@@ -596,39 +868,139 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                      if train else
                      _centroid_arrays(corpus, id_col, vec_col, n_centroids))
     if codebooks is None:
-        codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
-                     if train else
-                     pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
-    cells = ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col)
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    indexed = cells.select(id_col, "cell").join(codes, id_col)
+        if residual:
+            codebooks = (
+                train_residual_pq_codebooks(corpus, centroids, id_col,
+                                            vec_col, m, kc)
+                if train else
+                residual_codebooks_fixed(corpus, centroids, id_col, vec_col,
+                                         m, kc))
+        else:
+            codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
+                         if train else
+                         pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+    indexed = ivfpq_encode(corpus, centroids, codebooks, residual,
+                           id_col, vec_col)
     return ivfpq_adc_topk(indexed, centroids, codebooks, queries, k, nprobe,
-                          id_col, vec_col, query_id_col)
+                          id_col, vec_col, query_id_col, residual=residual,
+                          q_max=q_max, distributed=distributed)
+
+
+def _np_query_cent_dots(Qm: "np.ndarray", centroids: list) -> "np.ndarray":
+    """``(Q, n_centroids)`` inner products, vectorized ACROSS queries but
+    accumulating per dim left-to-right — bit-identical to the driver
+    path's ``_seq_dot(qv, c)`` per query.  Shared by probe ranking and
+    the residual ``<q, centroid>`` score term."""
+    Q, d = Qm.shape
+    dots = np.empty((Q, len(centroids)), dtype=np.float64)
+    for ci, c in enumerate(centroids):
+        acc = np.zeros(Q, dtype=np.float64)
+        for j in range(d):
+            acc = acc + Qm[:, j] * float(c[j])
+        dots[:, ci] = acc
+    return dots
+
+
+def _np_probe_cells(Qm: "np.ndarray", centroids: list, nprobe: int) -> "np.ndarray":
+    """(Q, nprobe) nearest-centroid indices by cosine, ties -> lower index.
+    Vectorized ACROSS queries with the per-dim left-to-right accumulation
+    order of the pure-python ``_seq_cos`` driver path, so the rankings are
+    bit-identical; stable argsort reproduces ``sorted((-cos, i))``."""
+    import math
+
+    Q, d = Qm.shape
+    qsq = np.zeros(Q, dtype=np.float64)
+    for j in range(d):
+        qsq = qsq + Qm[:, j] * Qm[:, j]
+    qn = np.sqrt(qsq)
+    ncent = len(centroids)
+    dots = _np_query_cent_dots(Qm, centroids)
+    cn = np.empty(ncent, dtype=np.float64)
+    for ci, c in enumerate(centroids):
+        cn[ci] = math.sqrt(_seq_dot(c, c))
+    cos = dots / (qn[:, None] * cn[None, :])
+    return np.argsort(-cos, axis=1, kind="stable")[:, :min(nprobe, ncent)]
 
 
 def ivfpq_adc_topk(indexed: DataFrame, centroids: list, codebooks: list,
                    queries: DataFrame, k: int = 3, nprobe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   query_id_col: str = "query_id") -> DataFrame:
+                   query_id_col: str = "query_id",
+                   residual: bool = False,
+                   q_max: int = 1024,
+                   distributed: bool | None = None) -> DataFrame:
     """Query-time half of :func:`ivfpq_ann_topk` over an EXISTING
     ``(id, cell, codes)`` frame — usable directly against a persisted
     index (:mod:`httpz_spark.operators.simindex`); the corpus embeddings
-    are never touched at query time."""
+    are never touched at query time.
+
+    ``residual=True`` scores codes that quantize ``v - centroid[cell]``
+    (the FAISS IVFPQ rule): the reconstruction is ``c + r̂``, so
+    ``ip(q, x̂) = ip(q, c) + ip(q, r̂)`` adds one per-(query, cell) term,
+    and ``|x̂|² = |c|² + Σ_mi (2⟨c_mi, r̂_mi⟩ + |r̂_mi|²)`` folds the
+    cross term into one precomputed ``(n_centroids x m x kc)`` table —
+    O(tables) driver/closure cost, still zero embedding reads.
+
+    Same two bit-identical paths as :func:`pq_adc_topk`, switched on
+    ``q_max``: the driver path builds per-query LUTs in pure-python float
+    order and ships them in the closure (right at FAISS's
+    few-queries/huge-corpus shape); the distributed path broadcasts the
+    raw query matrix, ranks probe cells with :func:`_np_probe_cells`
+    (vectorized, bit-equal), and builds LUTs once per task inside the
+    Arrow stage, scoring candidates by a vectorized ``(qidx, code)``
+    gather — no per-query python loop anywhere, so 10^5+ query sets
+    (corpus-vs-corpus retrieval) neither sit on the driver nor bloat the
+    task closure."""
+    qids, Qm = _collect_queries(queries, query_id_col, vec_col)
+    if distributed is None:
+        distributed = len(qids) > q_max
+    if distributed and len(qids):
+        return _ivfpq_adc_topk_dist(indexed, centroids, codebooks, qids, Qm,
+                                    k, nprobe, id_col, residual)
+    return _ivfpq_adc_topk_driver(indexed, centroids, codebooks, qids, Qm,
+                                  k, nprobe, id_col, residual)
+
+
+def _residual_cell_tables(centroids: list, codebooks: list, normsq: list):
+    """``(cnormsq[cell], combo[mi][cell][ki])`` where combo folds the
+    reconstruction cross term: ``2·⟨c_mi, r̂_mi⟩ + |r̂_mi|²``.  Pure-python
+    scalar accumulation (left-to-right per dim), shared verbatim by the
+    driver and distributed residual paths."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cnormsq = [_seq_dot(c, c) for c in centroids]
+    combo = []
+    for mi in range(m):
+        t = []
+        for c in centroids:
+            row = []
+            for ki, r in enumerate(codebooks[mi]):
+                acc = 0.0
+                for j in range(sub):
+                    acc += 2.0 * float(c[mi * sub + j]) * float(r[j])
+                row.append(acc + normsq[mi][ki])
+            t.append(row)
+        combo.append(t)
+    return cnormsq, combo
+
+
+def _ivfpq_adc_topk_driver(indexed: DataFrame, centroids: list,
+                           codebooks: list, qids: "np.ndarray",
+                           Qm: "np.ndarray", k: int, nprobe: int,
+                           id_col: str, residual: bool = False) -> DataFrame:
     import pandas as pd
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
 
-    normsq = [
-        [sum(c[j] * c[j] for j in range(sub)) for c in codebooks[mi]]
-        for mi in range(m)
-    ]
-    qrows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    normsq = _adc_normsq(codebooks)
+    cell_tabs = (_residual_cell_tables(centroids, codebooks, normsq)
+                 if residual else None)
     probe_pairs = []
     luts = {}
-    for r in qrows:
-        qid = int(r[query_id_col])
-        qv = list(map(float, r[vec_col]))
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        qv = [float(x) for x in Qm[qi]]
         if len(qv) != m * sub:  # trailing-dim truncation must fail loudly
             raise ValueError(
                 f"query dim {len(qv)} != m*sub = {m}*{sub} of the codebooks"
@@ -645,7 +1017,8 @@ def ivfpq_adc_topk(indexed: DataFrame, centroids: list, codebooks: list,
              for c in codebooks[mi]]
             for mi in range(m)
         ]
-        luts[qid] = (qn, ip)
+        qc = [_seq_dot(qv, c) for c in centroids] if residual else None
+        luts[qid] = (qn, ip, qc)
 
     spark = indexed.sparkSession
     probe_df = F.broadcast(
@@ -655,22 +1028,40 @@ def ivfpq_adc_topk(indexed: DataFrame, centroids: list, codebooks: list,
 
     def score(batches):
         np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
-        np_luts = {qid: (qn, [np.asarray(t, dtype=np.float64) for t in ip])
-                   for qid, (qn, ip) in luts.items()}
+        if residual:
+            np_cnormsq = np.asarray(cell_tabs[0], dtype=np.float64)
+            np_combo = [np.asarray(t, dtype=np.float64) for t in cell_tabs[1]]
+        np_luts = {
+            qid: (qn,
+                  [np.asarray(t, dtype=np.float64) for t in ip],
+                  np.asarray(qc, dtype=np.float64) if qc is not None else None)
+            for qid, (qn, ip, qc) in luts.items()
+        }
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             C = np.asarray([list(c) for c in pdf["codes"]], dtype=np.int64)
             qids = pdf["query_id"].to_numpy()
-            nsum = np_normsq[0][C[:, 0]]
-            for mi in range(1, m):
-                nsum = nsum + np_normsq[mi][C[:, mi]]
+            if residual:
+                # |x̂|² = |c|² + Σ_mi (2⟨c_mi, r̂_mi⟩ + |r̂_mi|²), per (cell, code)
+                cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
+                nsum = np_cnormsq[cells_arr] + np_combo[0][cells_arr, C[:, 0]]
+                for mi in range(1, m):
+                    nsum = nsum + np_combo[mi][cells_arr, C[:, mi]]
+            else:
+                nsum = np_normsq[0][C[:, 0]]
+                for mi in range(1, m):
+                    nsum = nsum + np_normsq[mi][C[:, mi]]
             rnorm = np.sqrt(nsum)
             out = np.empty(len(C), dtype=np.float64)
             for qid in np.unique(qids):
                 mask = qids == qid
-                qn, ip = np_luts[int(qid)]
-                s = ip[0][C[mask, 0]]
+                qn, ip, qc = np_luts[int(qid)]
+                if residual:
+                    # ⟨q, x̂⟩ = ⟨q, c⟩ + Σ_mi ⟨q_mi, r̂_mi⟩
+                    s = qc[cells_arr[mask]] + ip[0][C[mask, 0]]
+                else:
+                    s = ip[0][C[mask, 0]]
                 for mi in range(1, m):
                     s = s + ip[mi][C[mask, mi]]
                 out[mask] = s / (qn * rnorm[mask])
@@ -680,7 +1071,89 @@ def ivfpq_adc_topk(indexed: DataFrame, centroids: list, codebooks: list,
                 "approx_cos": out,
             })
 
-    scored = cand.select("query_id", F.col(id_col), "codes").mapInPandas(
+    sel = ["query_id", F.col(id_col), "codes"] + (["cell"] if residual else [])
+    scored = cand.select(*sel).mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ivfpq_adc_topk_dist(indexed: DataFrame, centroids: list,
+                         codebooks: list, qids: "np.ndarray",
+                         Qm: "np.ndarray", k: int, nprobe: int,
+                         id_col: str, residual: bool = False) -> DataFrame:
+    """Distributed IVFPQ ADC: probe ranking is one vectorized numpy pass
+    on the driver (cheap — Q x n_centroids x d flops, no python loops),
+    the query matrix rides a torrent broadcast, and each task builds the
+    LUTs once with :func:`_np_query_luts`; candidate scoring is a fully
+    vectorized ``(query_row, code)`` fancy gather keyed by searchsorted
+    query ids — bit-identical to the driver path's per-qid masked loop.
+    ``residual=True`` adds the per-(query, cell) ``⟨q, c⟩`` gather and the
+    precomputed cell/combo tables, in the driver path's accumulation
+    order."""
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if Qm.shape[1] != m * sub:  # trailing-dim truncation must fail loudly
+        raise ValueError(
+            f"query dim {Qm.shape[1]} != m*sub = {m}*{sub} of the codebooks"
+        )
+    normsq = _adc_normsq(codebooks)
+    cell_tabs = (_residual_cell_tables(centroids, codebooks, normsq)
+                 if residual else None)
+    cells = _np_probe_cells(Qm, centroids, nprobe)
+    probe_pairs = [(int(qids[qi]), int(c))
+                   for qi in range(len(qids)) for c in cells[qi]]
+    spark = indexed.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+    cand = indexed.join(probe_df, "cell")
+    bq = spark.sparkContext.broadcast((qids, Qm))
+
+    def score(batches):
+        b_qids, b_Qm = bq.value
+        qn, ip = _np_query_luts(b_Qm, codebooks)
+        np_normsq = [np.asarray(t, dtype=np.float64) for t in normsq]
+        if residual:
+            np_cnormsq = np.asarray(cell_tabs[0], dtype=np.float64)
+            np_combo = [np.asarray(t, dtype=np.float64) for t in cell_tabs[1]]
+            qc = _np_query_cent_dots(b_Qm, centroids)  # (Q, ncell)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray([list(c) for c in pdf["codes"]], dtype=np.int64)
+            rq = pdf["query_id"].to_numpy(dtype=np.int64)
+            qidx = np.searchsorted(b_qids, rq)
+            if residual:
+                cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
+                nsum = np_cnormsq[cells_arr] + np_combo[0][cells_arr, C[:, 0]]
+                for mi in range(1, m):
+                    nsum = nsum + np_combo[mi][cells_arr, C[:, mi]]
+            else:
+                nsum = np_normsq[0][C[:, 0]]
+                for mi in range(1, m):
+                    nsum = nsum + np_normsq[mi][C[:, mi]]
+            rnorm = np.sqrt(nsum)
+            if residual:
+                s = qc[qidx, cells_arr] + ip[0][qidx, C[:, 0]]
+            else:
+                s = ip[0][qidx, C[:, 0]]
+            for mi in range(1, m):
+                s = s + ip[mi][qidx, C[:, mi]]
+            out = s / (qn[qidx] * rnorm)
+            yield pd.DataFrame({
+                "query_id": rq,
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "approx_cos": out,
+            })
+
+    sel = ["query_id", F.col(id_col), "codes"] + (["cell"] if residual else [])
+    scored = cand.select(*sel).mapInPandas(
         score, schema="query_id long, neighbor_id long, approx_cos double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -26,13 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from httpz_spark.operators.similarity import (
     _centroid_arrays,
-    ivf_assign,
     ivfpq_adc_topk,
+    ivfpq_encode,
     pq_adc_topk,
     pq_codebooks_fixed,
     pq_encode,
+    residual_codebooks_fixed,
     train_centroids,
     train_pq_codebooks,
+    train_residual_pq_codebooks,
 )
 from httpz_spark.plans.statestore import StateStore
 
@@ -99,11 +101,15 @@ class PQIndex:
 
     # -- query ---------------------------------------------------------------
     def topk(self, queries: DataFrame, k: int = 3,
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id", q_max: int = 1024,
+             distributed: bool | None = None) -> DataFrame:
         """ADC top-k straight off the persisted codes — the corpus
-        embeddings are never read at query time."""
+        embeddings are never read at query time.  ``q_max``/``distributed``
+        pick between the driver-LUT and broadcast-LUT execution paths
+        (bit-identical; see :func:`~httpz_spark.operators.similarity.pq_adc_topk`)."""
         return pq_adc_topk(self.codes(), self.codebooks, queries, k,
-                           self.id_col, self.vec_col, query_id_col)
+                           self.id_col, self.vec_col, query_id_col,
+                           q_max=q_max, distributed=distributed)
 
 
 class IVFPQIndex:
@@ -115,32 +121,49 @@ class IVFPQIndex:
     META = "ivfpq_meta.json"
 
     def __init__(self, spark: SparkSession, root: str, centroids: list,
-                 codebooks: list, id_col: str, vec_col: str):
+                 codebooks: list, id_col: str, vec_col: str,
+                 residual: bool = False):
         self.spark = spark
         self.root = root
         self.centroids = centroids
         self.codebooks = codebooks
         self.id_col = id_col
         self.vec_col = vec_col
+        self.residual = residual
         self._store = StateStore(spark, root)
 
     @classmethod
     def build(cls, spark: SparkSession, root: str, corpus: DataFrame,
               n_centroids: int = 16, m: int = 8, kc: int = 16,
               train: bool = False, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "IVFPQIndex":
+              vec_col: str = "embedding",
+              residual: bool = False) -> "IVFPQIndex":
+        """``residual=True`` stores codes of ``v - centroid[cell]`` (the
+        FAISS IVFPQ rule) and codebooks trained/derived over residuals;
+        the flag is persisted in the meta file so reopened indexes score
+        with the matching ADC tables."""
         centroids = (train_centroids(corpus, n_centroids, id_col, vec_col)
                      if train else
                      _centroid_arrays(corpus, id_col, vec_col, n_centroids))
-        codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
-                     if train else
-                     pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
-        idx = cls(spark, root, centroids, codebooks, id_col, vec_col)
+        if residual:
+            codebooks = (
+                train_residual_pq_codebooks(corpus, centroids, id_col,
+                                            vec_col, m, kc)
+                if train else
+                residual_codebooks_fixed(corpus, centroids, id_col, vec_col,
+                                         m, kc))
+        else:
+            codebooks = (train_pq_codebooks(corpus, id_col, vec_col, m, kc)
+                         if train else
+                         pq_codebooks_fixed(corpus, id_col, vec_col, m, kc))
+        idx = cls(spark, root, centroids, codebooks, id_col, vec_col,
+                  residual)
         os.makedirs(root, exist_ok=True)
         tmp = os.path.join(root, cls.META + ".tmp")
         with open(tmp, "w") as f:
             json.dump({"centroids": centroids, "codebooks": codebooks,
-                       "id_col": id_col, "vec_col": vec_col}, f)
+                       "id_col": id_col, "vec_col": vec_col,
+                       "residual": residual}, f)
         os.replace(tmp, os.path.join(root, cls.META))
         idx._store.merge_upsert("ivfpq_rows", idx._encode(corpus),
                                 key=id_col)
@@ -151,13 +174,12 @@ class IVFPQIndex:
         with open(os.path.join(root, cls.META)) as f:
             meta = json.load(f)
         return cls(spark, root, meta["centroids"], meta["codebooks"],
-                   meta["id_col"], meta["vec_col"])
+                   meta["id_col"], meta["vec_col"],
+                   meta.get("residual", False))
 
     def _encode(self, corpus: DataFrame) -> DataFrame:
-        cells = ivf_assign(corpus.select(self.id_col, self.vec_col),
-                           self.centroids, self.vec_col)
-        codes = pq_encode(corpus, self.codebooks, self.id_col, self.vec_col)
-        return cells.select(self.id_col, "cell").join(codes, self.id_col)
+        return ivfpq_encode(corpus, self.centroids, self.codebooks,
+                            self.residual, self.id_col, self.vec_col)
 
     def add(self, new_corpus: DataFrame) -> int:
         """Assign + encode ONLY the new rows and MERGE them (idempotent;
@@ -173,7 +195,9 @@ class IVFPQIndex:
         return df
 
     def topk(self, queries: DataFrame, k: int = 3, nprobe: int = 4,
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id", q_max: int = 1024,
+             distributed: bool | None = None) -> DataFrame:
         return ivfpq_adc_topk(self.rows(), self.centroids, self.codebooks,
                               queries, k, nprobe, self.id_col, self.vec_col,
-                              query_id_col)
+                              query_id_col, residual=self.residual,
+                              q_max=q_max, distributed=distributed)
