@@ -536,6 +536,31 @@ def test_dedup_clusters_auto_falls_back_on_long_chains(spark):
     assert stats["algorithm"] == "minlabel" and stats["rounds"] <= 8
 
 
+def test_dedup_clusters_auto_skips_probe_at_scale(spark):
+    """Round-5 verdict fix: at/above star_threshold edges, auto goes
+    STRAIGHT to star — zero min-label probe rounds wasted on a graph big
+    enough that each wasted round is a full extra shuffle.  Output is
+    unchanged vs both forced paths."""
+    import math
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    stats = {}
+    got = {r["id"]: r["canonical"]
+           for r in D.dedup_clusters(chain, star_threshold=100,
+                                     stats=stats).collect()}
+    assert got == {i: 0 for i in range(200)}
+    assert stats["algorithm"] == "star"
+    assert stats["probe_rounds"] == 0  # zero wasted probe rounds
+    assert stats["n_edges"] == 199
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(200)) + 4, stats
+    # below the threshold the probe path is untouched
+    stats = {}
+    D.dedup_clusters(chain, star_threshold=10_000, stats=stats).collect()
+    assert stats["algorithm"] == "star" and stats["probe_rounds"] > 0
+
+
 def test_minlabel_releases_superseded_label_checkpoints(spark):
     """ADVICE-r04 class fix on BOTH CC variants: a k-round fixpoint run
     must not hold k label/edge snapshots in executor storage.  After a
