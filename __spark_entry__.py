@@ -825,7 +825,8 @@ def oracle_sql() -> dict[str, str]:
             "robots_table",
             "host, crawl_delay_ms, per_wave_budget, disallow_csv, allow_csv, "
             "fetch_status"),
-        "sitemap_discovery": _golden_sql("sitemap_discovery", "host, loc"),
+        "sitemap_discovery": _golden_sql(
+            "sitemap_discovery", "host, loc, lastmod, sm_priority"),
         "phash_near_dups": _golden_sql("phash_near_dups", "a, b, hamming"),
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from httpz_spark.functions.robotsx import robots_sitemaps
 from httpz_spark.functions.sitemapx import (
     loc_host_matches,
+    sitemap_entries,
     sitemap_is_index,
     sitemap_locs,
 )
@@ -145,14 +146,33 @@ def fetch_sitemap_urls(sm: DataFrame, fabric_cfg: FabricConfig,
     )
 
 
+def sitemap_seed_priority(priority_col="sm_priority",
+                          lastmod_col="lastmod") -> "F.Column":
+    """Map the sitemap scheduling elements onto the frontier's
+    ascending-long ``priority``: the advertised ``<priority>`` (0.0-1.0,
+    absent -> the protocol's 0.5 default) picks the band —
+    ``round((1 - p) * 1000)``, so priority 1.0 seeds land in band 0 and
+    unset ones mid-pack at 500 — and WITHIN a band, entries carrying a
+    ``<lastmod>`` sort ahead of ones that don't (a recrawl scheduler has
+    a real freshness signal only for the former).  Deterministic, purely
+    native; pass to ``urls_to_frontier(..., priority=...)``."""
+    band = F.round((F.lit(1.0) - F.coalesce(F.col(priority_col),
+                                            F.lit(0.5))) * 1000)
+    has_lastmod = F.when(F.col(lastmod_col).isNotNull(), F.lit(0)).otherwise(F.lit(1))
+    return (band * 2 + has_lastmod).cast("long")
+
+
 def sitemap_seed_frame(hosts: DataFrame, fabric_cfg: FabricConfig,
                        host_col: str = "host", transport_factory=None,
                        partitions: int = 32) -> DataFrame:
     """hosts -> robots Sitemap lines -> (one level of sitemapindex) ->
-    ``(host, loc)`` page-URL seed rows, host-scope enforced throughout.
+    ``(host, loc, lastmod, sm_priority)`` page-URL seed rows, host-scope
+    enforced throughout; ``lastmod``/``sm_priority`` carry the protocol's
+    optional scheduling elements (NULL when never advertised).
 
     Feed the result straight into ``urls_to_frontier`` (the ``loc``
-    column is a full URL)."""
+    column is a full URL; ``priority=sitemap_seed_priority()`` turns the
+    scheduling elements into the crawl order)."""
     robots = fetch_robots(hosts, fabric_cfg, host_col, transport_factory,
                           partitions)
     # sm is consumed by THREE plan branches (l0 fetch, index cycle guard,
@@ -196,9 +216,18 @@ def sitemap_seed_frame(hosts: DataFrame, fabric_cfg: FabricConfig,
     )
     seeds = (
         urlsets.select("host",
-                       F.explode(sitemap_locs(F.col("body"))).alias("loc"))
+                       F.explode(sitemap_entries(F.col("body"))).alias("e"))
+        .select("host", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"),
+                F.col("e.priority").alias("sm_priority"))
         .filter(loc_host_matches(F.col("loc"), F.col("host")))
-        .distinct()
+        # a loc listed by several sitemaps (or twice in one) collapses to
+        # one seed row: LATEST lastmod (ISO-8601 is lexicographic) and
+        # HIGHEST advertised priority win — max-aggregation keeps NULL
+        # only when every occurrence omitted the element
+        .groupBy("host", "loc")
+        .agg(F.max("lastmod").alias("lastmod"),
+             F.max("sm_priority").alias("sm_priority"))
         # materialize the (small: host+url strings) seed list so the two
         # fetch barriers can be released before returning; the caller gets
         # a frame with no live dependency on sm/l0

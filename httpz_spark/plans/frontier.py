@@ -45,12 +45,23 @@ FRONTIER_COLS = [
 ]
 
 
-def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame, wave_id: int) -> DataFrame:
+def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame,
+                     wave_id: int, priority=None) -> DataFrame:
     """Canonicalize raw URLs into frontier rows — all native expressions
-    except the 64-bit identity hash (Arrow-batched murmur3)."""
+    except the 64-bit identity hash (Arrow-batched murmur3).
+
+    ``priority`` (optional Column over ``df``'s columns, long-castable)
+    overrides the default depth-derived crawl priority — the hook for
+    real scheduling signals (sitemap ``<priority>``/``<lastmod>`` via
+    :func:`~httpz_spark.operators.sitemapfetch.sitemap_seed_priority`,
+    recrawl staleness, host quotas).  Lower = fetched earlier; crawl
+    order stays the deterministic (wave_id, priority, url_hash)."""
     canon = U.canonicalize_url(F.col(url_col))
     depth_col = F.lit(depth) if isinstance(depth, int) else depth
-    out = df.select(canon.alias("url_canon"), depth_col.cast("int").alias("_depth"))
+    cols = [canon.alias("url_canon"), depth_col.cast("int").alias("_depth")]
+    if priority is not None:
+        cols.append(priority.cast("long").alias("_priority"))
+    out = df.select(*cols)
     out = out.filter(F.col("url_canon").isNotNull() & (F.col("url_canon") != ""))
     out = (
         out.withColumn("url_hash", make_url_hash64_udf()(F.col("url_canon")))
@@ -71,9 +82,11 @@ def urls_to_frontier(df: DataFrame, url_col: str, depth: int | DataFrame, wave_i
             "scheme", F.regexp_extract("url_canon", r"^([a-z][a-z0-9+.\-]*)://", 1)
         )
     )
+    prio = (F.col("_priority") if priority is not None
+            else F.col("depth").cast("long"))
     return (
         out.withColumnRenamed("_depth", "depth")
-        .withColumn("priority", F.col("depth").cast("long"))
+        .withColumn("priority", prio)
         .withColumn("wave_id", F.lit(wave_id).cast("int"))
         # a blank/whitespace-only line canonicalizes to 'https:///' with an
         # empty host — drop it here so every ingest path (seeds, streaming,

@@ -1100,7 +1100,30 @@ def golden_sitemap_discovery():
                 out.append(u)
         return tag, out
 
-    rows = set()
+    def et_entries(body: bytes):
+        """Per-<url> (loc, lastmod, priority) with real XML parsing —
+        the independent model for sitemap_entries' regex extraction."""
+        root = ET.fromstring(body)
+        tag = root.tag.rsplit("}", 1)[-1]
+        ents = []
+        for url_el in root.iter():
+            if url_el.tag.rsplit("}", 1)[-1] != "url":
+                continue
+            loc = lastmod = prio = None
+            for ch in url_el:
+                name = ch.tag.rsplit("}", 1)[-1]
+                text = (ch.text or "").strip()
+                if name == "loc" and text:
+                    loc = text
+                elif name == "lastmod" and text:
+                    lastmod = text
+                elif name == "priority" and text:
+                    prio = float(text)
+            if loc is not None:
+                ents.append((loc, lastmod, prio))
+        return tag, ents
+
+    rows = []
     for host in all_hosts(world):
         if _fetch_model_status(host, "/robots.txt", world) != 200:
             continue
@@ -1126,21 +1149,36 @@ def golden_sitemap_discovery():
                 path = urlsplit(u).path or "/"
                 if _fetch_model_status(host, path, world) != 200:
                     continue
-                tag, locs = et_locs(sitemap_xml_bytes(host, path, world))
+                body = sitemap_xml_bytes(host, path, world)
+                tag, locs = et_locs(body)
                 if tag == "sitemapindex":
                     if depth == 0:
                         nxt.extend(x for x in locs if same_host(x, host))
                 else:
-                    urlset_bodies.append(locs)
+                    urlset_bodies.append(et_entries(body)[1])
             level = nxt
-        for locs in urlset_bodies:
-            for loc in locs:
+        for ents in urlset_bodies:
+            for loc, lastmod, prio in ents:
                 if same_host(loc, host):
-                    rows.add((host, loc))
-    out = sorted(rows)
+                    rows.append((host, loc, lastmod, prio))
+    # max-aggregation per (host, loc): latest lastmod (ISO-8601 is
+    # lexicographic), highest advertised priority, NULL only if never set
+    agg = {}
+    for host, loc, lastmod, prio in rows:
+        cur = agg.get((host, loc))
+        if cur is None:
+            agg[(host, loc)] = [lastmod, prio]
+        else:
+            if lastmod is not None and (cur[0] is None or lastmod > cur[0]):
+                cur[0] = lastmod
+            if prio is not None and (cur[1] is None or prio > cur[1]):
+                cur[1] = prio
+    out = sorted((h, l, v[0], v[1]) for (h, l), v in agg.items())
     write_golden("sitemap_discovery", pa.table({
         "host": pa.array([r[0] for r in out], pa.string()),
         "loc": pa.array([r[1] for r in out], pa.string()),
+        "lastmod": pa.array([r[2] for r in out], pa.string()),
+        "sm_priority": pa.array([r[3] for r in out], pa.float64()),
     }))
 
 

@@ -124,3 +124,95 @@ def test_sitemap_seed_frame_end_to_end(spark):
     # cross-host locs (hs % 5 == 0 urlsets embed one) never leak through
     for host, locs in by_host.items():
         assert all(f"https://{host}/" in u for u in locs)
+
+
+def test_sitemap_entries_lastmod_priority(spark):
+    """Per-<url> struct parse: optional children in any order, missing
+    ones NULL, blocks without <loc> dropped, &amp; unescaped in loc."""
+    from httpz_spark.functions.sitemapx import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h.test/a?x=1&amp;y=2</loc>"
+        "<lastmod>2026-03-05</lastmod><priority>0.9</priority></url>\n"
+        "<url><priority> 0.2 </priority><loc> https://h.test/b </loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc -> dropped
+        "<url><loc>https://h.test/c</loc></url>"
+        "</urlset>"
+    )
+    got = _one(spark, sitemap_entries, xml)
+    assert [tuple(e) for e in got] == [
+        ("https://h.test/a?x=1&y=2", "2026-03-05", 0.9),
+        ("https://h.test/b", None, 0.2),
+        ("https://h.test/c", None, None),
+    ]
+
+
+def test_sitemap_seed_frame_carries_scheduling_elements(spark):
+    """Engine seeds agree with the independent ElementTree model on
+    lastmod/priority too, including the max-aggregation rule."""
+    import xml.etree.ElementTree as ET
+
+    hosts = spark.createDataFrame(
+        [(h,) for h in FB.all_hosts(WORLD)], "host string")
+    got = {(r["host"], r["loc"]): (r["lastmod"], r["sm_priority"])
+           for r in sitemap_seed_frame(hosts, WORLD, partitions=4).collect()}
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[1] is not None for v in got.values())
+    for (host, loc), (lastmod, prio) in got.items():
+        if prio is not None:
+            assert 0.0 <= prio <= 1.0
+    # spot-check one urlset host against stdlib ET
+    checked = 0
+    for host in FB.all_hosts(WORLD):
+        hs = FB.h64(f"{WORLD.seed}:sitemap:{host}")
+        if hs % 4 == 3 or hs % 3 == 0:
+            continue  # no sitemap advertised / index host
+        if not any(h == host for (h, _l) in got):
+            continue
+        root = ET.fromstring(FB.sitemap_xml_bytes(host, "/sitemap.xml", WORLD))
+        for url_el in root.iter():
+            if url_el.tag.rsplit("}", 1)[-1] != "url":
+                continue
+            loc = lastmod = prio = None
+            for ch in url_el:
+                name = ch.tag.rsplit("}", 1)[-1]
+                text = (ch.text or "").strip()
+                if name == "loc":
+                    loc = text
+                elif name == "lastmod":
+                    lastmod = text
+                elif name == "priority":
+                    prio = float(text)
+            if loc and (host, loc) in got:
+                assert got[(host, loc)] == (lastmod, prio), (host, loc)
+                checked += 1
+    assert checked >= 5
+
+
+def test_sitemap_priority_orders_frontier(spark):
+    """sitemap_seed_priority -> urls_to_frontier: advertised <priority>
+    picks the band (higher = fetched earlier), lastmod-bearing entries
+    lead their band, unset priority lands mid-pack (0.5 default)."""
+    from httpz_spark.operators.sitemapfetch import sitemap_seed_priority
+    from httpz_spark.plans.frontier import urls_to_frontier
+
+    seeds = spark.createDataFrame(
+        [
+            ("h.test", "https://h.test/hot", None, 0.9),
+            ("h.test", "https://h.test/hot-fresh", "2026-03-01", 0.9),
+            ("h.test", "https://h.test/default", None, None),
+            ("h.test", "https://h.test/cold", None, 0.1),
+        ],
+        "host string, loc string, lastmod string, sm_priority double",
+    )
+    fr = urls_to_frontier(seeds, "loc", 0, wave_id=0,
+                          priority=sitemap_seed_priority())
+    rows = fr.orderBy("priority", "url_hash").collect()
+    order = [r["url_canon"].rsplit("/", 1)[-1] for r in rows]
+    assert order == ["hot-fresh", "hot", "default", "cold"]
+    # priority column is the frontier's, depth stays 0 for all seeds
+    assert all(r["depth"] == 0 for r in rows)
+    got_prio = {r["url_canon"].rsplit("/", 1)[-1]: r["priority"] for r in rows}
+    assert got_prio == {"hot-fresh": 200, "hot": 201,
+                       "default": 1001, "cold": 1801}
