@@ -153,6 +153,42 @@ def crawl_workload(spark, cpus: int) -> dict:
     return out
 
 
+def ann_10k_queries(spark) -> dict:
+    """PQ-ADC top-k at Q = 10^4 (corpus-vs-corpus retrieval shape) — the
+    round-5 verdict's large-Q bench point.  Q > q_max auto-dispatches to
+    the DISTRIBUTED path (broadcast query matrix, per-task numpy LUTs,
+    task-local top-k pre-reduction); the driver path at this Q would build
+    10^4 pure-python LUTs (~10^8 float ops) in the closure.  Queries are
+    the corpus replicated with fresh ids — content repetition is fine,
+    the cost driver is Q itself.  Index build (train + encode) is
+    UNTIMED: that's the build-once half of the persisted-index split."""
+    from pyspark.sql import functions as F
+
+    from httpz_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = SIM.train_pq_codebooks(emb, m=8, kc=256)
+    codes = SIM.pq_encode(emb, cb).persist()
+    codes.count()
+    n = emb.count()
+    reps = (10_000 + n - 1) // n
+    q = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(spark.range(reps).select(F.col("id").alias("_r")))
+        .select((F.col("vec_id") + F.col("_r") * n).alias("query_id"),
+                "embedding")
+        .filter(F.col("query_id") < 10_000)
+        .persist()
+    )
+    nq = q.count()
+    t0 = time.time()
+    SIM.pq_adc_topk(codes, cb, q, k=3).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    codes.unpersist()
+    q.unpersist()
+    return {"sec": dt, "n_queries": nq, "queries_per_sec": nq / dt}
+
+
 def _load1() -> float:
     """1-minute load average — the ambient-tenancy bracket.  This host is a
     shared VM whose steal swings minute to minute; BENCH_r04 was captured
@@ -204,6 +240,10 @@ def run_default() -> None:
     tq, tl = table_queries(spark)
     queries.update(tq)
     qloads.update(tl)
+    l0 = _load1()
+    ann = ann_10k_queries(spark)
+    queries["pq_adc_topk_10kq"] = round(ann["sec"], 3)
+    qloads["pq_adc_topk_10kq"] = [l0, _load1()]
     total = round(time.time() - t_all, 3)
     # same-minute machine ceiling (multiprocessing, no Spark): what this
     # host could deliver for the fetch workload DURING this capture —
@@ -222,6 +262,7 @@ def run_default() -> None:
             "urls_per_sec": round(crawl["urls_per_sec"], 1),
             "n_fetched": crawl["n_fetched"],
             "dedup_ops_per_sec": round(crawl["dedup_ops_per_sec"], 1),
+            "ann_10kq_per_sec": round(ann["queries_per_sec"], 1),
             "cpus": CPUS,
         },
         "load": {

@@ -92,4 +92,12 @@ class EngineConfig:
                                      # keys; the bloom's value is avoiding
                                      # seen-table scans when seen >> wave)
     include_payload: bool = True     # carry image payload columns into results
+    adaptive_politeness: bool = False  # AIMD per-host budgets from observed
+                                     # latency (operators/politeness.py:
+                                     # aimd_host_budgets); persisted in the
+                                     # host_budgets state table
+    slow_latency_ms: float = 1000.0  # median wave latency above this (or any
+                                     # TIMEOUT) halves the host's budget
+    min_host_budget: int = 1         # AIMD floor — a degraded host is probed
+                                     # gently, never dropped
     state_dir: str = "/tmp/httpz_spark_state"

@@ -32,6 +32,7 @@ def politeness_schedule(
     host_col: str = "host",
     path_col: str = "path",
     pre_salt: int = 16,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Adds ``sched_rank`` (1-based per-host rank in crawl order) and
     ``scheduled`` (rank <= budget); drops robots-disallowed paths.
@@ -73,6 +74,15 @@ def politeness_schedule(
         budget = F.coalesce(F.col("_budget"), F.lit(default_budget))
     else:
         budget = F.lit(default_budget)
+    if host_budgets is not None:
+        # adaptive (AIMD) per-host caps from observed fetch behavior — a
+        # second tiny broadcast join; the effective budget can only SHRINK
+        # below the robots/default one, never exceed it
+        ab = F.broadcast(host_budgets.select(
+            F.col("host").alias("_abhost"), F.col("budget").alias("_abudget")
+        ))
+        df = df.join(ab, df[host_col] == F.col("_abhost"), "left").drop("_abhost")
+        budget = F.least(budget, F.coalesce(F.col("_abudget"), budget))
 
     order = [F.col("priority"), F.col("url_hash")]
     if pre_salt and pre_salt > 1:
@@ -113,7 +123,50 @@ def politeness_schedule(
         w = Window.partitionBy(host_col).orderBy(*order)
         df = df.withColumn("sched_rank", F.row_number().over(w))
         df = df.withColumn("scheduled", F.col("sched_rank") <= budget)
-    return df.drop("_budget", "_rules")
+    return df.drop("_budget", "_rules", "_abudget")
+
+
+def aimd_host_budgets(
+    results: DataFrame,
+    prev: DataFrame | None,
+    default_budget: int,
+    slow_latency_ms: float = 1000.0,
+    min_budget: int = 1,
+    host_col: str = "host",
+) -> DataFrame:
+    """AIMD update of per-host wave budgets from ONE wave's fetch
+    results — the scheduler analogue of the reference's per-request
+    timeout discipline (``scanner.py``'s fixed-timeout ClientSession): a
+    host whose observed behavior degrades gets hit less hard next wave,
+    a recovered host earns its budget back one slot at a time.
+
+    Degraded = median ``latency_ms`` above ``slow_latency_ms`` OR any
+    TIMEOUT rows this wave.  Multiplicative decrease ``max(min_budget,
+    old // 2)``, additive increase ``min(default_budget, old + 1)`` —
+    the classic stable/fair control rule (TCP congestion avoidance).
+    ``prev`` is the current ``(host, budget)`` state (None on the first
+    wave; absent hosts start at ``default_budget``).  Returns the updated
+    ``(host, budget)`` rows for the hosts SEEN this wave (merge-upsert
+    them over the state table).  One groupBy over the wave results plus a
+    broadcast join against the tiny state table; deterministic
+    (median via exact percentile on the per-host group)."""
+    agg = results.groupBy(F.col(host_col).alias("host")).agg(
+        F.expr("percentile(latency_ms, 0.5)").alias("_med"),
+        F.sum(F.when(F.col("error_type") == "TIMEOUT", 1).otherwise(0)
+              ).alias("_nto"),
+    )
+    if prev is not None:
+        pb = F.broadcast(prev.select(F.col("host"),
+                                     F.col("budget").alias("_old")))
+        agg = agg.join(pb, "host", "left")
+    else:
+        agg = agg.withColumn("_old", F.lit(None).cast("int"))
+    old = F.coalesce(F.col("_old"), F.lit(default_budget))
+    slow = (F.col("_med") > F.lit(slow_latency_ms)) | (F.col("_nto") > 0)
+    new = F.when(slow, F.greatest(F.lit(min_budget),
+                                  F.floor(old / 2).cast("int"))) \
+        .otherwise(F.least(F.lit(default_budget), old + F.lit(1)))
+    return agg.select("host", new.cast("int").alias("budget"))
 
 
 def salted_repartition(

@@ -35,7 +35,11 @@ from httpz_spark.config import EngineConfig, ScanConfig
 from httpz_spark.functions import urls as U
 from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
 from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
-from httpz_spark.operators.politeness import politeness_schedule, salted_repartition
+from httpz_spark.operators.politeness import (
+    aimd_host_budgets,
+    politeness_schedule,
+    salted_repartition,
+)
 from httpz_spark.plans.scan import META, PAYLOAD, make_url_hash64_udf
 from httpz_spark.plans.statestore import StateStore
 from httpz_spark.sources.fabric import FabricConfig
@@ -234,6 +238,22 @@ class CrawlEngine:
         out = self.store.read(staging_out)
         deferred = self.store.read(staging_def)
 
+        # AIMD politeness update — STAGED before the state merge so a
+        # crash-rerun replays the same (host, budget) rows instead of
+        # recomputing from the already-updated state (which would halve a
+        # slow host twice for one observed wave)
+        staging_budgets = f"wave{wave_id}_budgets"
+        if ecfg.adaptive_politeness:
+            if not self.store.exists(staging_budgets):
+                self.store.write(staging_budgets, aimd_host_budgets(
+                    out, self.store.read("host_budgets"),
+                    default_budget=ecfg.per_host_budget,
+                    slow_latency_ms=ecfg.slow_latency_ms,
+                    min_budget=ecfg.min_host_budget,
+                ))
+            self.store.merge_upsert(
+                "host_budgets", self.store.read(staging_budgets), key="host")
+
         # MERGE results + seen (idempotent on url_hash)
         self.store.merge_upsert("results", out, key="url_hash")
         seen_rows = out.select(
@@ -284,7 +304,8 @@ class CrawlEngine:
         # lineage row committed = wave durable; staging served its purpose
         # (idempotent re-run) and is GC'd so state-dir disk stays O(corpus),
         # not O(waves x corpus)
-        for staging in (staging_out, staging_def, staging_meta):
+        for staging in (staging_out, staging_def, staging_meta,
+                        staging_budgets):
             self.store.drop(staging)
         return {
             "wave_id": wave_id, "n_ready": n_ready, "n_fetched": n_fetched,
@@ -329,6 +350,8 @@ class CrawlEngine:
         ranked = politeness_schedule(
             unseen, self.robots, default_budget=ecfg.per_host_budget,
             pre_salt=ecfg.politeness_pre_salt,
+            host_budgets=(self.store.read("host_budgets")
+                          if ecfg.adaptive_politeness else None),
         )
         # sched_rank stays on the scheduled side: _fetch salts hot hosts by
         # floor((rank-1)/target) — free, perfectly balanced (politeness.py)
