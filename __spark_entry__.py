@@ -695,6 +695,67 @@ def q_ivfpq_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_ann_topk_residual(spark, sf_dir):
+    # residual IVFPQ (FAISS rule: PQ codes of v - centroid[cell]): same
+    # coarse model, residual codebooks + the precomputed cross-term cell
+    # tables at query time (golden: scalar residual subtraction composed
+    # with the ivfpq models, identical accumulation order —
+    # scripts/make_goldens.py:golden_ivfpq_ann_topk_residual).
+    from httpz_spark.operators.similarity import ivfpq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(e, queries, k=3, n_centroids=16, nprobe=4,
+                          m=8, kc=16, residual=True).select(
+        "query_id", "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"), "rank",
+    )
+
+
+def q_sitemap_priority(spark, sf_dir):
+    # sitemap scheduling elements -> frontier priority: the advertised
+    # <priority> picks the band ((1-p)*1000, protocol default 0.5 when
+    # absent), lastmod-bearing entries lead their band (real SQL oracle
+    # re-derives the arithmetic over the golden seed table).
+    from httpz_spark.operators.sitemapfetch import (
+        sitemap_seed_frame,
+        sitemap_seed_priority,
+    )
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=256, n_hosts=48).with_certs()
+    hosts = spark.createDataFrame(
+        [(h,) for h in FB.all_hosts(world)], "host string")
+    seeds = sitemap_seed_frame(hosts, world, partitions=8)
+    return seeds.select(
+        "host", "loc", "lastmod", "sm_priority",
+        sitemap_seed_priority().alias("frontier_priority"),
+    )
+
+
+def q_aimd_budgets(spark, sf_dir):
+    # AIMD politeness update over a deterministic synthetic wave derived
+    # from the documents table (host buckets, latency from text length,
+    # sparse TIMEOUTs) with a prior-budget table — REAL SQL oracle
+    # (exact median + the halve/step-up rule re-derived in DuckDB).
+    from httpz_spark.operators.politeness import aimd_host_budgets
+
+    d = _t(spark, sf_dir, "documents")
+    res = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+        (F.length("text") % 997).cast("double").alias("latency_ms"),
+        F.when(F.col("doc_id") % 101 == 0, F.lit("TIMEOUT")).alias("error_type"),
+    )
+    prev = d.filter(F.col("doc_id") < 10).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+        (F.col("doc_id") + 1).cast("int").alias("budget"),
+    )
+    return aimd_host_budgets(res, prev, default_budget=100,
+                             slow_latency_ms=450.0)
+
+
 def q_robots_table(spark, sf_dir):
     # robots.txt fetch-and-parse politeness-table builder (north_rule
     # "robots budgets"): one fetch per fabric host through the transport
@@ -792,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": _shipped(q_pq_ann_topk),
         "pq_ann_topk_256": _shipped(q_pq_ann_topk_256),
         "ivfpq_ann_topk": _shipped(q_ivfpq_ann_topk),
+        "ivfpq_ann_topk_residual": _shipped(q_ivfpq_ann_topk_residual),
+        "sitemap_priority": _shipped(q_sitemap_priority),
+        "aimd_budgets": _shipped(q_aimd_budgets),
     }
 
 
@@ -842,6 +906,40 @@ def oracle_sql() -> dict[str, str]:
             "pq_ann_topk_256", "query_id, neighbor_id, approx_cos, rank"),
         "ivfpq_ann_topk": _golden_sql(
             "ivfpq_ann_topk", "query_id, neighbor_id, approx_cos, rank"),
+        "ivfpq_ann_topk_residual": _golden_sql(
+            "ivfpq_ann_topk_residual",
+            "query_id, neighbor_id, approx_cos, rank"),
+        # REAL-SQL arithmetic over the golden seed table: the frontier
+        # priority formula re-derived in DuckDB ((1-p)*1000 band doubled
+        # + lastmod-absent bit)
+        "sitemap_priority": (
+            "SELECT host, loc, lastmod, sm_priority, "
+            "CAST(round((1.0 - coalesce(sm_priority, 0.5)) * 1000) * 2 "
+            "+ (CASE WHEN lastmod IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS frontier_priority "
+            f"FROM read_parquet('{_GOLDEN}/sitemap_discovery.parquet')"),
+        # REAL SQL: exact interpolated median + the AIMD halve/step rule
+        "aimd_budgets": """
+            WITH res AS (
+                SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+                       CAST(length(text) % 997 AS DOUBLE) AS latency_ms,
+                       CASE WHEN doc_id % 101 = 0 THEN 'TIMEOUT' END AS error_type
+                FROM documents),
+            prev AS (
+                SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+                       CAST(doc_id + 1 AS INT) AS budget
+                FROM documents WHERE doc_id < 10),
+            agg AS (
+                SELECT host, quantile_cont(latency_ms, 0.5) AS med,
+                       sum(CASE WHEN error_type = 'TIMEOUT' THEN 1 ELSE 0 END) AS nto
+                FROM res GROUP BY host)
+            SELECT a.host,
+                   CAST(CASE WHEN a.med > 450.0 OR a.nto > 0
+                        THEN greatest(1, CAST(floor(coalesce(p.budget, 100) / 2) AS INT))
+                        ELSE least(100, coalesce(p.budget, 100) + 1)
+                        END AS INT) AS budget
+            FROM agg a LEFT JOIN prev p USING (host)
+        """,
         "crawl_single_wave": _golden_sql(
             "crawl_single_wave",
             "domain, url, status, protocol, title, favicon_hash, error_type, url_hash"),

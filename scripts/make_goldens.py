@@ -897,6 +897,104 @@ def golden_ivfpq_ann_topk(k=3, n_centroids=16, nprobe=4, m=8, kc=16):
     }))
 
 
+def golden_ivfpq_ann_topk_residual(k=3, n_centroids=16, nprobe=4, m=8, kc=16):
+    """Residual IVFPQ (codes quantize v - centroid[cell], the FAISS rule):
+    the ivfpq golden's models composed with scalar residual subtraction,
+    the 2*<c_mi, r_mi> + |r_mi|^2 cross-term table, and the <q, c> score
+    term — every accumulation left-to-right per dim, matching
+    similarity._ivfpq_adc_topk_driver(residual=True) bit for bit."""
+    emb = load_embeddings()
+    vecs = {vid: list(map(float, v)) for vid, v in emb}
+    ids_sorted = sorted(vecs)
+    cents = [vecs[vid] for vid in ids_sorted[:n_centroids]]
+
+    def cell_of(v):
+        coss = [seq_cos(v, c) for c in cents]
+        return coss.index(max(coss))
+
+    cells = {vid: cell_of(v) for vid, v in vecs.items()}
+    d = len(cents[0])
+    sub = d // m
+
+    def resid(v, cell):
+        return [v[j] - cents[cell][j] for j in range(d)]
+
+    # residual codebooks: residuals of the kc smallest-id embeddings
+    books = []
+    cb_resid = [resid(vecs[vid], cells[vid]) for vid in ids_sorted[:kc]]
+    books = [[rv[mi * sub:(mi + 1) * sub] for rv in cb_resid]
+             for mi in range(m)]
+
+    def encode(rv):
+        codes = []
+        for mi in range(m):
+            best_k, best_d = 0, None
+            for ki in range(kc):
+                acc = 0.0
+                for j in range(sub):
+                    diff = rv[mi * sub + j] - books[mi][ki][j]
+                    acc = acc + diff * diff
+                if best_d is None or acc < best_d:
+                    best_d, best_k = acc, ki
+            codes.append(best_k)
+        return codes
+
+    codes = {vid: encode(resid(v, cells[vid])) for vid, v in vecs.items()}
+    normsq = [
+        [sum(c[j] * c[j] for j in range(sub)) for c in books[mi]]
+        for mi in range(m)
+    ]
+    cnormsq = [seq_dot(c, c) for c in cents]
+    combo = []
+    for mi in range(m):
+        t = []
+        for c in cents:
+            row = []
+            for ki in range(kc):
+                acc = 0.0
+                for j in range(sub):
+                    acc += 2.0 * c[mi * sub + j] * books[mi][ki][j]
+                row.append(acc + normsq[mi][ki])
+            t.append(row)
+        combo.append(t)
+    rows = []
+    for qid in [vid for vid in ids_sorted if vid < 8]:
+        qv = vecs[qid]
+        coss = [seq_cos(qv, c) for c in cents]
+        probe = set(i for _, i in sorted((-c, i) for i, c in enumerate(coss))[:nprobe])
+        qn = 0.0
+        for x in qv:
+            qn += x * x
+        qn = qn ** 0.5
+        ip = [
+            [sum(qv[mi * sub + j] * c[j] for j in range(sub))
+             for c in books[mi]]
+            for mi in range(m)
+        ]
+        qc = [seq_dot(qv, c) for c in cents]
+        scored = []
+        for vid, cd in codes.items():
+            cell = cells[vid]
+            if cell not in probe:
+                continue
+            nsum = cnormsq[cell] + combo[0][cell][cd[0]]
+            for mi in range(1, m):
+                nsum = nsum + combo[mi][cell][cd[mi]]
+            s = qc[cell] + ip[0][cd[0]]
+            for mi in range(1, m):
+                s = s + ip[mi][cd[mi]]
+            scored.append((s / (qn * nsum ** 0.5), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, vid) in enumerate(scored[:k], start=1):
+            rows.append((qid, vid, spark_round(score), rank))
+    write_golden("ivfpq_ann_topk_residual", pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+        "approx_cos": pa.array([r[2] for r in rows], pa.float64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # robots_table — independent LINE-BASED RFC-9309-subset parser (vs the
 # engine's regex-based native expressions) over the same fabric
@@ -1201,6 +1299,7 @@ GOLDENS = {
     "pq_ann_topk": golden_pq_ann_topk,
     "pq_ann_topk_256": golden_pq_ann_topk_256,
     "ivfpq_ann_topk": golden_ivfpq_ann_topk,
+    "ivfpq_ann_topk_residual": golden_ivfpq_ann_topk_residual,
 }
 
 
