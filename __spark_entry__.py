@@ -735,6 +735,27 @@ def q_sitemap_priority(spark, sf_dir):
     )
 
 
+def q_recrawl_candidates(spark, sf_dir):
+    # recrawl scheduling over the sitemap seed frame: a synthetic seen
+    # table (deterministic arithmetic on loc) yields all three classes —
+    # never-seen (new), advertised-lastmod-advanced (stale), fresh
+    # (dropped).  REAL SQL oracle re-derives seen + the classification.
+    from httpz_spark.operators.recrawl import recrawl_candidates
+    from httpz_spark.operators.sitemapfetch import sitemap_seed_frame
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=256, n_hosts=48).with_certs()
+    hosts = spark.createDataFrame(
+        [(h,) for h in FB.all_hosts(world)], "host string")
+    seeds = sitemap_seed_frame(hosts, world, partitions=8)
+    seen = seeds.filter(F.length("loc") % 3 != 0).select(
+        F.col("loc").alias("url"),
+        F.when(F.length("loc") % 2 == 0, F.lit("2026-03-02")).alias("lastmod"),
+    )
+    return recrawl_candidates(seeds, seen).select(
+        "host", "loc", "lastmod", "sm_priority", "recrawl_reason")
+
+
 def q_aimd_budgets(spark, sf_dir):
     # AIMD politeness update over a deterministic synthetic wave derived
     # from the documents table (host buckets, latency from text length,
@@ -855,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": _shipped(q_ivfpq_ann_topk),
         "ivfpq_ann_topk_residual": _shipped(q_ivfpq_ann_topk_residual),
         "sitemap_priority": _shipped(q_sitemap_priority),
+        "recrawl_candidates": _shipped(q_recrawl_candidates),
         "aimd_budgets": _shipped(q_aimd_budgets),
     }
 
@@ -918,6 +940,24 @@ def oracle_sql() -> dict[str, str]:
             "+ (CASE WHEN lastmod IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
             "AS frontier_priority "
             f"FROM read_parquet('{_GOLDEN}/sitemap_discovery.parquet')"),
+        # REAL SQL: synthetic seen table + the new/stale/fresh rule over
+        # the golden sitemap seed frame
+        "recrawl_candidates": f"""
+            WITH seeds AS (
+                SELECT * FROM read_parquet('{_GOLDEN}/sitemap_discovery.parquet')),
+            seen AS (
+                SELECT loc AS url,
+                       CASE WHEN length(loc) % 2 = 0 THEN '2026-03-02' END AS lastmod
+                FROM seeds WHERE length(loc) % 3 <> 0),
+            cls AS (
+                SELECT s.host, s.loc, s.lastmod, s.sm_priority,
+                       CASE WHEN n.url IS NULL THEN 'new'
+                            WHEN s.lastmod IS NOT NULL
+                                 AND (n.lastmod IS NULL OR s.lastmod > n.lastmod)
+                            THEN 'stale' END AS recrawl_reason
+                FROM seeds s LEFT JOIN seen n ON s.loc = n.url)
+            SELECT * FROM cls WHERE recrawl_reason IS NOT NULL
+        """,
         # REAL SQL: exact interpolated median + the AIMD halve/step rule
         "aimd_budgets": """
             WITH res AS (

@@ -43,10 +43,17 @@ def normalize_cell(v):
     return v
 
 
+def _row_key(t):
+    # None-safe total order (nullable columns, e.g. sitemap lastmod):
+    # NULLs first within a column, mixed types keyed by type name
+    return tuple((v is not None, type(v).__name__, v) for v in t)
+
+
 def df_rows(df):
     cols = sorted(df.columns)
     return sorted(
-        tuple(normalize_cell(r[c]) for c in cols) for r in df.collect()
+        (tuple(normalize_cell(r[c]) for c in cols) for r in df.collect()),
+        key=_row_key,
     ), cols
 
 
@@ -55,7 +62,8 @@ def duck_rows(con, sql):
     cols = res.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = sorted(
-        tuple(normalize_cell(row[i]) for i in order) for row in res.fetchall()
+        (tuple(normalize_cell(row[i]) for i in order) for row in res.fetchall()),
+        key=_row_key,
     )
     return rows, sorted(cols)
 
