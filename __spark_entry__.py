@@ -756,6 +756,45 @@ def q_recrawl_candidates(spark, sf_dir):
         "host", "loc", "lastmod", "sm_priority", "recrawl_reason")
 
 
+def _trap_frontier(spark, sf_dir):
+    # synthetic frontier with two URL-template explosions (calendar dates,
+    # 32-hex session ids) and one bounded page template, skew across 7
+    # hosts — derived arithmetically from orders so the DuckDB oracle can
+    # rebuild the identical frame
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 7).cast("string"), F.lit(".test"))
+    base = F.concat(F.lit("https://"), host)
+    url = (
+        F.when(k % 5 < 2, F.concat(
+            base, F.lit("/cal/2026-"), (1 + k % 12).cast("string"),
+            F.lit("-"), (1 + k % 28).cast("string"), F.lit("/ev"),
+            k.cast("string")))
+        .when(k % 5 == 2, F.concat(
+            base, F.lit("/s/"), F.md5(k.cast("string"))))
+        .otherwise(F.concat(
+            base, F.lit("/li/img"), (k % 40).cast("string")))
+    )
+    return o.select(host.alias("host"), url.alias("url"))
+
+
+def q_trap_templates(spark, sf_dir):
+    # crawler-trap detection: per-(host, path-template) distinct-URL
+    # explosion counts — REAL SQL oracle (same regex rules, 'g' flag)
+    from httpz_spark.operators.traps import trap_templates
+
+    return trap_templates(_trap_frontier(spark, sf_dir), max_urls=100)
+
+
+def q_frontier_detrap(spark, sf_dir):
+    # frontier with trapped templates capped at keep lexicographically-
+    # smallest URLs; healthy templates untouched — REAL SQL oracle
+    from httpz_spark.operators.traps import frontier_detrap
+
+    return frontier_detrap(
+        _trap_frontier(spark, sf_dir), max_urls=100, keep=5)
+
+
 def q_aimd_budgets(spark, sf_dir):
     # AIMD politeness update over a deterministic synthetic wave derived
     # from the documents table (host buckets, latency from text length,
@@ -878,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_priority": _shipped(q_sitemap_priority),
         "recrawl_candidates": _shipped(q_recrawl_candidates),
         "aimd_budgets": _shipped(q_aimd_budgets),
+        "trap_templates": _shipped(q_trap_templates),
+        "frontier_detrap": _shipped(q_frontier_detrap),
     }
 
 
@@ -891,6 +932,39 @@ def _golden_sql(name: str, cols: str) -> str:
     behavioral model, a plain-python BFS crawl simulator) —
     scripts/make_goldens.py.  DuckDB replays it verbatim."""
     return f"SELECT {cols} FROM read_parquet('{_GOLDEN}/{name}.parquet')"
+
+
+# shared CTEs for the trap queries: rebuild _trap_frontier's URL frame and
+# the url_path_template shape rules (operators/traps.py) in DuckDB
+_TRAP_TPL_CTES = """
+    WITH f AS (
+        SELECT 'h' || CAST(o_orderkey % 7 AS VARCHAR) || '.test' AS host,
+               CASE
+                 WHEN o_orderkey % 5 < 2 THEN
+                   'https://h' || CAST(o_orderkey % 7 AS VARCHAR)
+                   || '.test/cal/2026-' || CAST(1 + o_orderkey % 12 AS VARCHAR)
+                   || '-' || CAST(1 + o_orderkey % 28 AS VARCHAR)
+                   || '/ev' || CAST(o_orderkey AS VARCHAR)
+                 WHEN o_orderkey % 5 = 2 THEN
+                   'https://h' || CAST(o_orderkey % 7 AS VARCHAR)
+                   || '.test/s/' || md5(CAST(o_orderkey AS VARCHAR))
+                 ELSE
+                   'https://h' || CAST(o_orderkey % 7 AS VARCHAR)
+                   || '.test/li/img' || CAST(o_orderkey % 40 AS VARCHAR)
+               END AS url
+        FROM orders),
+    tpl AS (
+        SELECT host, url,
+               regexp_replace(regexp_replace(
+                   CASE WHEN p = '' THEN '/' ELSE p END,
+                   '[0-9a-f]{8,}', '{H}', 'g'),
+                   '[0-9]+', '{N}', 'g') AS template
+        FROM (SELECT host, url,
+                     regexp_replace(regexp_replace(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                         '[?#].*$', '') AS p
+              FROM f))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -959,6 +1033,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM cls WHERE recrawl_reason IS NOT NULL
         """,
         # REAL SQL: exact interpolated median + the AIMD halve/step rule
+        # REAL SQL: identical synthetic frontier + the same template
+        # regexes (DuckDB regexp_replace needs the explicit 'g' flag;
+        # Spark's is global by default)
+        "trap_templates": _TRAP_TPL_CTES + """
+            SELECT host, template, COUNT(DISTINCT url) AS n_urls
+            FROM tpl GROUP BY host, template
+            HAVING COUNT(DISTINCT url) > 100
+        """,
+        "frontier_detrap": _TRAP_TPL_CTES + """,
+            traps AS (
+                SELECT host, template FROM tpl GROUP BY host, template
+                HAVING COUNT(DISTINCT url) > 100),
+            ranked AS (
+                SELECT t.host, t.url, t.template,
+                       tr.host IS NOT NULL AS trapped,
+                       row_number() OVER (
+                           PARTITION BY t.host, t.template
+                           ORDER BY t.url) AS rn
+                FROM tpl t LEFT JOIN traps tr
+                  ON t.host = tr.host AND t.template = tr.template)
+            SELECT host, url, template, trapped FROM ranked
+            WHERE NOT trapped OR rn <= 5
+        """,
         "aimd_budgets": """
             WITH res AS (
                 SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,

@@ -1,0 +1,108 @@
+"""Crawler-trap detection (operators/traps.py)."""
+
+from pyspark.sql import functions as F
+
+from httpz_spark.operators.traps import (
+    frontier_detrap,
+    trap_templates,
+    url_path_template,
+)
+
+
+def _frontier(spark, n_cal=40, n_sess=30, n_page=20):
+    """Synthetic frontier: a calendar trap, a hex session-id trap, and a
+    bounded page template on one host, plus a second healthy host."""
+    rows = []
+    for i in range(n_cal):
+        rows.append(("trap.test", f"https://trap.test/cal/2026-{1 + i % 12:02d}-{1 + i % 28:02d}/ev{i}"))
+    for i in range(n_sess):
+        rows.append(("trap.test", f"https://trap.test/s/{('%032x' % (i * 2654435761))}"))
+    for i in range(n_page):
+        rows.append(("trap.test", f"https://trap.test/li/img{i % 5:02d}"))
+        rows.append(("ok.test", f"https://ok.test/li/img{i % 5:02d}"))
+    return spark.createDataFrame(rows, "host string, url string")
+
+
+def test_template_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.test/cal/2026-03-05/ev7?sess=1#top",),
+            ("http://h.test/s/deadbeefdeadbeefdeadbeefdeadbeef",),
+            ("https://h.test",),
+            ("https://h.test/li/img00000042",),  # 8+ digits = high-entropy
+            ("https://h.test/li/img42",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(url_path_template("url")).collect()]
+    assert got == [
+        "/cal/{N}-{N}-{N}/ev{N}",
+        "/s/{H}",
+        "/",
+        "/li/img{H}",
+        "/li/img{N}",
+    ]
+
+
+def test_trap_templates_finds_only_explosions(spark):
+    f = _frontier(spark)
+    got = {(r["host"], r["template"]): r["n_urls"]
+           for r in trap_templates(f, max_urls=10).collect()}
+    assert got == {
+        ("trap.test", "/cal/{N}-{N}-{N}/ev{N}"): 40,
+        ("trap.test", "/s/{H}"): 30,
+    }  # /li/img{N} has 5 distinct urls per host -> healthy
+
+
+def test_detrap_caps_and_flags(spark):
+    f = _frontier(spark)
+    out = frontier_detrap(f, max_urls=10, keep=3)
+    by = out.groupBy("host", "template", "trapped").count().collect()
+    got = {(r["host"], r["template"]): (r["trapped"], r["count"]) for r in by}
+    assert got[("trap.test", "/cal/{N}-{N}-{N}/ev{N}")] == (True, 3)
+    assert got[("trap.test", "/s/{H}")] == (True, 3)
+    # healthy templates pass EVERY row through (20 rows, 5 distinct urls)
+    assert got[("trap.test", "/li/img{N}")] == (False, 20)
+    assert got[("ok.test", "/li/img{N}")] == (False, 20)
+    # deterministic survivors: the keep lexicographically-smallest urls
+    cal = sorted(
+        r["url"] for r in out.filter(
+            (F.col("template") == "/cal/{N}-{N}-{N}/ev{N}") & F.col("trapped")
+        ).collect()
+    )
+    all_cal = sorted(
+        r["url"] for r in f.filter(F.col("url").contains("/cal/")).collect()
+    )
+    assert cal == all_cal[:3]
+
+
+def test_detrap_precomputed_traps_skips_agg(spark):
+    f = _frontier(spark)
+    traps = spark.createDataFrame(
+        [("trap.test", "/s/{H}")], "host string, template string"
+    )
+    out = frontier_detrap(f, max_urls=10, keep=2, traps=traps)
+    got = {(r["host"], r["template"], r["trapped"]): r["count"]
+           for r in out.groupBy("host", "template", "trapped").count().collect()}
+    assert got[("trap.test", "/s/{H}", True)] == 2
+    # calendar NOT in the supplied list -> untouched this wave
+    assert got[("trap.test", "/cal/{N}-{N}-{N}/ev{N}", False)] == 40
+
+
+def test_detrap_plan_shape(spark):
+    """The trap agg is evaluated once (reused broadcast exchange), the
+    window never runs over the healthy branch, and the trap list rides a
+    broadcast join."""
+    f = _frontier(spark)
+    df = frontier_detrap(f, max_urls=10, keep=3)
+    df.collect()  # AQE's exchange reuse appears in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one Window (trapped branch only), with the rank-limit pushed below
+    # the shuffle so at most `keep` rows per group shuffle at all
+    assert plan.count("Window [") <= 2  # one logical Window; AQE may print it per-stage
+    assert "WindowGroupLimit" in plan
+    # the trap agg's broadcast exchange is built once and reused
+    assert "ReusedExchange" in plan
