@@ -795,6 +795,60 @@ def q_frontier_detrap(spark, sf_dir):
         _trap_frontier(spark, sf_dir), max_urls=100, keep=5)
 
 
+def _image_table(spark):
+    # augmented image+caption frame (graft-cell payload): fabric base
+    # images + re-encode variants (2 pHash bits flipped, caption kept) +
+    # reposts (fresh random pHash, caption kept) — mirrored bit-for-bit
+    # by scripts/make_goldens.py:golden_image_table via the pinned
+    # pure-python xxh64
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+
+    world = FB.FabricConfig(n_images=192, n_hosts=16)
+    # synthetic well-spread phash instead of the fabric average_hash: the
+    # fabric's gradient-dominated pixels put nearly every image within 2
+    # aHash bits of every other (kept as a banding stress test in
+    # q_phash_near_dups); the shard fixture needs cluster structure
+    imgs = S.images_df(spark, world, partitions=4).select(
+        "image_id", "caption",
+        F.xxhash64(F.concat(F.lit("ph:"), F.col("image_id"))).alias("phash"))
+    m = F.pmod(F.xxhash64(F.col("image_id")), F.lit(4))
+    bit = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+                    for i in range(64)])
+    b1 = F.pmod(F.xxhash64(F.concat(F.lit("pflip1:"), F.col("image_id"))), F.lit(64))
+    b2 = F.pmod(F.xxhash64(F.concat(F.lit("pflip2:"), F.col("image_id"))), F.lit(64))
+    mask = F.element_at(bit, (b1 + 1).cast("int")).bitwiseXOR(
+        F.element_at(bit, (b2 + 1).cast("int")))
+    variants = imgs.filter(m == 0).select(
+        F.concat(F.col("image_id"), F.lit("_v")).alias("image_id"),
+        F.col("caption"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    reposts = imgs.filter(m == 1).select(
+        F.concat(F.col("image_id"), F.lit("_r")).alias("image_id"),
+        F.col("caption"),
+        F.xxhash64(F.concat(F.lit("repost:"), F.col("image_id"))).alias("phash"),
+    )
+    return imgs.unionByName(variants).unionByName(reposts)
+
+
+def q_image_table(spark, sf_dir):
+    # pins the Spark-built augmented frame against the independent python
+    # model (golden oracle) — the input contract for image_training_shard
+    return _image_table(spark)
+
+
+def q_image_training_shard(spark, sf_dir):
+    # IMAGE-axis capstone: caption-exact + pHash-near dedup in one CC
+    # pass, survivors with absorbed-row counts.  REAL SQL oracle: DuckDB
+    # re-derives caption groups, brute-force bit_count(xor()) pairs, the
+    # recursive-CTE components, and the keep-rule over the golden input.
+    from httpz_spark.operators.imageshard import image_training_shard
+
+    return image_training_shard(_image_table(spark)).select(
+        "image_id", "caption", "phash", "dup_count")
+
+
 def q_aimd_budgets(spark, sf_dir):
     # AIMD politeness update over a deterministic synthetic wave derived
     # from the documents table (host buckets, latency from text length,
@@ -919,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_budgets": _shipped(q_aimd_budgets),
         "trap_templates": _shipped(q_trap_templates),
         "frontier_detrap": _shipped(q_frontier_detrap),
+        "image_table": _shipped(q_image_table),
+        "image_training_shard": _shipped(q_image_training_shard),
     }
 
 
@@ -988,6 +1044,45 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_discovery": _golden_sql(
             "sitemap_discovery", "host, loc, lastmod, sm_priority"),
         "phash_near_dups": _golden_sql("phash_near_dups", "a, b, hamming"),
+        "image_table": _golden_sql("image_table", "image_id, caption, phash"),
+        # REAL SQL: the full image-shard derivation re-done in DuckDB over
+        # the golden input frame — caption star edges, brute-force
+        # bit_count(xor()) hamming pairs (the engine must NEVER do
+        # all-pairs; the oracle may), recursive-CTE components, keep-rule
+        "image_training_shard": f"""
+            WITH RECURSIVE imgs AS (
+                SELECT * FROM read_parquet('{_GOLDEN}/image_table.parquet')),
+            capg AS (
+                SELECT caption, min(image_id) AS keep, count(*) AS n
+                FROM imgs GROUP BY caption),
+            cape AS (
+                SELECT g.keep AS a, i.image_id AS b
+                FROM imgs i JOIN capg g ON i.caption = g.caption
+                WHERE g.n > 1 AND i.image_id <> g.keep),
+            ph AS (
+                SELECT x.image_id AS a, y.image_id AS b
+                FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+                WHERE bit_count(xor(x.phash, y.phash)) <= 2),
+            p AS (SELECT a, b FROM cape UNION SELECT a, b FROM ph),
+            e AS (SELECT a AS x, b AS y FROM p
+                  UNION SELECT b AS x, a AS y FROM p),
+            reach(id, r) AS (
+                SELECT x, y FROM e
+                UNION
+                SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x),
+            comp AS (
+                SELECT id, least(id, min(r)) AS canonical
+                FROM reach GROUP BY id),
+            sizes AS (
+                SELECT canonical, count(*) AS dup_count
+                FROM comp GROUP BY canonical)
+            SELECT i.image_id, i.caption, i.phash,
+                   COALESCE(s.dup_count, 1) AS dup_count
+            FROM imgs i
+            LEFT JOIN sizes s ON i.image_id = s.canonical
+            WHERE i.image_id NOT IN (
+                SELECT id FROM comp WHERE id <> canonical)
+        """,
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp
                          FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),

@@ -1280,7 +1280,51 @@ def golden_sitemap_discovery():
     }))
 
 
+def golden_image_table():
+    """The augmented image+caption frame behind ★image_table /
+    ★image_training_shard: fabric base images plus re-encode variants
+    (2 pHash bits flipped, same caption) and reposts (fresh random
+    pHash, same caption), all derived with the pure-python xxh64 pinned
+    against Spark's F.xxhash64.  This golden is the INPUT the
+    image_training_shard oracle re-derives the whole shard from in
+    DuckDB (caption groups + bit_count(xor()) pairs + recursive CC)."""
+    from httpz_spark.sources.fabric import FabricConfig, caption_for, image_id_at
+
+    world = FabricConfig(n_images=192, n_hosts=16)
+    M64 = (1 << 64) - 1
+
+    def signed(v: int) -> int:
+        v &= M64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for i in range(192):
+        iid = image_id_at(i)
+        cap = caption_for(iid, world)
+        # synthetic well-spread phash, NOT the fabric average_hash: aHash
+        # over the fabric's gradient-dominated pixels puts nearly every
+        # image within 2 bits of every other (one giant clique — the
+        # phash_near_dups query keeps that as a banding stress test), but
+        # the SHARD fixture needs real cluster structure
+        ph = xxh64_str(f"ph:{iid}")
+        rows.append((iid, cap, ph))
+        m = xxh64_str(iid) % 4
+        if m == 0:
+            b1 = xxh64_str(f"pflip1:{iid}") % 64
+            b2 = xxh64_str(f"pflip2:{iid}") % 64
+            rows.append((iid + "_v", cap, signed(ph ^ (1 << b1) ^ (1 << b2))))
+        elif m == 1:
+            rows.append((iid + "_r", cap, xxh64_str(f"repost:{iid}")))
+    rows.sort()
+    write_golden("image_table", pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "caption": pa.array([r[1] for r in rows], pa.string()),
+        "phash": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
 GOLDENS = {
+    "image_table": golden_image_table,
     "minhash_lsh_dups": golden_minhash,
     "simhash_near_dups": golden_simhash,
     "embedding_near_dups": golden_embedding_near_dups,
