@@ -849,6 +849,50 @@ def q_image_training_shard(spark, sf_dir):
         "image_id", "caption", "phash", "dup_count")
 
 
+def _reval_candidates(spark):
+    # conditional-revalidation candidates over CLEAN direct-200 fabric
+    # pages (failure-ladder interplay is crawl_single_wave's job): a
+    # third store the page's current validators (-> 304), a third a stale
+    # etag (-> 200 + refreshed validators), a third nothing (cold fetch)
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(n_images=64, n_hosts=8)
+    rows = []
+    for i in range(world.n_images):
+        iid = FB.image_id_at(i)
+        host = FB.host_for_image(iid, world)
+        path = f"/li/{iid}"
+        cls = FB.url_class(host, path, world)
+        if (cls["status"] != 200 or cls["redirect_to"]
+                or cls["fail_https"] or cls["fail_first_attempt"]):
+            continue
+        etag, lm = FB.page_validators(host, path, world)
+        if i % 3 == 0:
+            rows.append((host, path, etag, lm))
+        elif i % 3 == 1:
+            rows.append((host, path, '"feed"', None))
+        else:
+            rows.append((host, path, None, None))
+    return world, spark.createDataFrame(
+        rows, "host string, path string, etag string, last_modified string")
+
+
+def q_revalidate_wave(spark, sf_dir):
+    # If-None-Match/If-Modified-Since conditional refetch wave: 304s for
+    # unchanged pages (no body transfer/parse), refreshed validators for
+    # the seen-meta MERGE.  Golden oracle: independent python model of
+    # the conditional rule over the same candidate set
+    # (scripts/make_goldens.py:golden_revalidate_wave).
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.operators.revalidate import revalidate_plan
+
+    world, cand = _reval_candidates(spark)
+    cfg = ScanConfig(fetch_headers=True, retries=1)
+    return revalidate_plan(cand, cfg, world).select(
+        "host", "path", "status", "not_modified",
+        "etag_new", "last_modified_new")
+
+
 def q_aimd_budgets(spark, sf_dir):
     # AIMD politeness update over a deterministic synthetic wave derived
     # from the documents table (host buckets, latency from text length,
@@ -975,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_detrap": _shipped(q_frontier_detrap),
         "image_table": _shipped(q_image_table),
         "image_training_shard": _shipped(q_image_training_shard),
+        "revalidate_wave": _shipped(q_revalidate_wave),
     }
 
 
@@ -1045,6 +1090,9 @@ def oracle_sql() -> dict[str, str]:
             "sitemap_discovery", "host, loc, lastmod, sm_priority"),
         "phash_near_dups": _golden_sql("phash_near_dups", "a, b, hamming"),
         "image_table": _golden_sql("image_table", "image_id, caption, phash"),
+        "revalidate_wave": _golden_sql(
+            "revalidate_wave",
+            "host, path, status, not_modified, etag_new, last_modified_new"),
         # REAL SQL: the full image-shard derivation re-done in DuckDB over
         # the golden input frame — caption star edges, brute-force
         # bit_count(xor()) hamming pairs (the engine must NEVER do

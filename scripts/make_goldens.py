@@ -1323,8 +1323,48 @@ def golden_image_table():
     }))
 
 
+def golden_revalidate_wave():
+    """Conditional-revalidation outcomes, modeled directly from the RFC
+    rule (If-None-Match comparison, validators re-sent on 304 and 200)
+    over the same clean-page candidate set the contract query builds —
+    independent of the engine's scan machinery and header plumbing."""
+    from httpz_spark.sources.fabric import (
+        FabricConfig, host_for_image, image_id_at, page_validators, url_class,
+    )
+
+    world = FabricConfig(n_images=64, n_hosts=8)
+    rows = []
+    for i in range(world.n_images):
+        iid = image_id_at(i)
+        host = host_for_image(iid, world)
+        path = f"/li/{iid}"
+        cls = url_class(host, path, world)
+        if (cls["status"] != 200 or cls["redirect_to"]
+                or cls["fail_https"] or cls["fail_first_attempt"]):
+            continue
+        etag, lm = page_validators(host, path, world)
+        fresh = i % 3 == 0
+        rows.append({
+            "host": host, "path": path,
+            "status": 304 if fresh else 200,
+            "not_modified": fresh,
+            "etag_new": etag, "last_modified_new": lm,
+        })
+    rows.sort(key=lambda r: (r["host"], r["path"]))
+    write_golden("revalidate_wave", pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.int32()),
+        "not_modified": pa.array([r["not_modified"] for r in rows], pa.bool_()),
+        "etag_new": pa.array([r["etag_new"] for r in rows], pa.string()),
+        "last_modified_new": pa.array(
+            [r["last_modified_new"] for r in rows], pa.string()),
+    }))
+
+
 GOLDENS = {
     "image_table": golden_image_table,
+    "revalidate_wave": golden_revalidate_wave,
     "minhash_lsh_dups": golden_minhash,
     "simhash_near_dups": golden_simhash,
     "embedding_near_dups": golden_embedding_near_dups,
