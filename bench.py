@@ -153,6 +153,84 @@ def crawl_workload(spark, cpus: int) -> dict:
     return out
 
 
+def detrap_workload(spark, cpus: int) -> dict:
+    """Trap-guard throughput at DEDUP_ROWS frontier width: 100 hosts, two
+    exploding templates (calendar + hex session ids, ~4k distinct URLs per
+    host-template) and one healthy bounded template — the guard must cap
+    the traps and pass the healthy 80% untouched, in one distinct-count
+    agg + a trapped-subset-only window (operators/traps.py)."""
+    from pyspark.sql import functions as F
+
+    from httpz_spark.operators.traps import frontier_detrap
+
+    P = max(cpus, 16)
+    k = F.col("id")
+    host = F.concat(F.lit("h"), (k % 100).cast("string"), F.lit(".test"))
+    base = F.concat(F.lit("https://"), host)
+    url = (
+        F.when(k % 10 == 0, F.concat(
+            base, F.lit("/cal/2026-"), (1 + k % 12).cast("string"),
+            F.lit("-"), (1 + k % 28).cast("string"), F.lit("/ev"),
+            k.cast("string")))
+        .when(k % 10 == 1, F.concat(base, F.lit("/s/"), F.md5(k.cast("string"))))
+        .otherwise(F.concat(base, F.lit("/li/img"), (k % 800).cast("string")))
+    )
+    f = spark.range(0, DEDUP_ROWS, 1, P).select(
+        host.alias("host"), url.alias("url")).persist()
+    f.count()
+    t0 = time.time()
+    n_out = frontier_detrap(f, max_urls=2000, keep=64).count()
+    dt = time.time() - t0
+    f.unpersist()
+    return {"sec": dt, "rows_per_sec": DEDUP_ROWS / dt, "n_out": n_out}
+
+
+def revalidate_workload(spark, cpus: int) -> dict:
+    """Steady-state conditional recrawl wave at CRAWL_URLS width: 90% of
+    candidates hold the page's current validators (-> 304, no body
+    transfer/parse), 10% a stale etag (-> full refetch).  The rate to
+    compare against crawl_fetch_wave — the unchanged-majority saving the
+    revalidation path exists for."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.operators.revalidate import revalidate_plan
+    from httpz_spark.sources import fabric as FB
+
+    world = FB.FabricConfig(
+        n_images=CRAWL_IMAGES, n_hosts=CRAWL_HOSTS).with_certs()
+    hosts, paths, etags, lms = [], [], [], []
+    for i in range(CRAWL_URLS):
+        iid = FB.image_id_at(i % CRAWL_IMAGES)
+        h = FB.host_for_image(iid, world)
+        p = f"/d{i // CRAWL_IMAGES}/{iid}"
+        hosts.append(h)
+        paths.append(p)
+        if i % 10 == 0:
+            etags.append('"stale"')
+            lms.append(None)
+        else:
+            et, lm = FB.page_validators(h, p, world)
+            etags.append(et)
+            lms.append(lm)
+    cand = spark.createDataFrame(pd.DataFrame({
+        "host": hosts, "path": paths, "etag": etags, "last_modified": lms,
+    })).repartition(max(cpus, 16)).persist()
+    cand.count()
+    cfg = ScanConfig(fetch_headers=True, fetch_title=True, retries=1)
+    t0 = time.time()
+    out = revalidate_plan(cand, cfg, world)
+    agg = out.agg(
+        F.sum(out["not_modified"].cast("int")).alias("n_304"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    dt = time.time() - t0
+    cand.unpersist()
+    return {"sec": dt, "urls_per_sec": CRAWL_URLS / dt,
+            "n_304": int(agg["n_304"]), "n": int(agg["n"])}
+
+
 def ann_10k_queries(spark) -> dict:
     """PQ-ADC top-k at Q = 10^4 (corpus-vs-corpus retrieval shape) — the
     round-5 verdict's large-Q bench point.  Q > q_max auto-dispatches to
@@ -244,6 +322,14 @@ def run_default() -> None:
     ann = ann_10k_queries(spark)
     queries["pq_adc_topk_10kq"] = round(ann["sec"], 3)
     qloads["pq_adc_topk_10kq"] = [l0, _load1()]
+    l0 = _load1()
+    detrap = detrap_workload(spark, CPUS)
+    queries["frontier_detrap_4m"] = round(detrap["sec"], 3)
+    qloads["frontier_detrap_4m"] = [l0, _load1()]
+    l0 = _load1()
+    reval = revalidate_workload(spark, CPUS)
+    queries["revalidate_wave"] = round(reval["sec"], 3)
+    qloads["revalidate_wave"] = [l0, _load1()]
     total = round(time.time() - t_all, 3)
     # same-minute machine ceiling (multiprocessing, no Spark): what this
     # host could deliver for the fetch workload DURING this capture —
@@ -263,6 +349,9 @@ def run_default() -> None:
             "n_fetched": crawl["n_fetched"],
             "dedup_ops_per_sec": round(crawl["dedup_ops_per_sec"], 1),
             "ann_10kq_per_sec": round(ann["queries_per_sec"], 1),
+            "detrap_rows_per_sec": round(detrap["rows_per_sec"], 1),
+            "reval_urls_per_sec": round(reval["urls_per_sec"], 1),
+            "reval_n_304": reval["n_304"],
             "cpus": CPUS,
         },
         "load": {

@@ -92,6 +92,14 @@ class EngineConfig:
                                      # keys; the bloom's value is avoiding
                                      # seen-table scans when seen >> wave)
     include_payload: bool = True     # carry image payload columns into results
+    trap_max_urls: int | None = None  # crawler-trap guard: cumulative
+                                     # distinct fetched URLs per (host,
+                                     # path-template) above this marks the
+                                     # template trapped (operators/traps.py);
+                                     # None = guard off
+    trap_keep: int = 64              # trapped templates trickle at most
+                                     # this many NEW urls per wave (throttle,
+                                     # not blackhole)
     adaptive_politeness: bool = False  # AIMD per-host budgets from observed
                                      # latency (operators/politeness.py:
                                      # aimd_host_budgets); persisted in the

@@ -80,6 +80,44 @@ def trap_templates(
     )
 
 
+def frontier_trap_split(
+    frontier: DataFrame,
+    traps: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    keep: int = 64,
+) -> tuple:
+    """(passed, overflow) against a PRECOMPUTED trap list (host,
+    template): rows of trapped templates beyond the first ``keep``
+    (lexicographic URL order — deterministic) land in ``overflow`` with
+    the frontier's ORIGINAL columns, so an engine can DEFER them to the
+    next wave (throttle) instead of dropping them (blackhole); everything
+    else passes.  Same plan shape as :func:`frontier_detrap`: broadcast
+    trap join, rank window over the trapped subset only."""
+    cols = frontier.columns
+    t = frontier.withColumn("_tpl", url_path_template(F.col(url_col)))
+    tr = F.broadcast(
+        traps.select(F.col("host").alias("_th"),
+                     F.col("template").alias("_ttpl"))
+        .withColumn("_trap", F.lit(True))
+    )
+    j = t.join(
+        tr,
+        (t[host_col] == F.col("_th")) & (F.col("_tpl") == F.col("_ttpl")),
+        "left",
+    )
+    passed_healthy = j.filter(F.col("_trap").isNull()).select(*cols)
+    w = Window.partitionBy(host_col, "_tpl").orderBy(F.col(url_col))
+    trapped = (
+        j.filter(F.col("_trap").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    passed = passed_healthy.unionByName(
+        trapped.filter(F.col("_rn") <= keep).select(*cols))
+    overflow = trapped.filter(F.col("_rn") > keep).select(*cols)
+    return passed, overflow
+
+
 def frontier_detrap(
     frontier: DataFrame,
     url_col: str = "url",

@@ -35,6 +35,7 @@ from httpz_spark.config import EngineConfig, ScanConfig
 from httpz_spark.functions import urls as U
 from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
 from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
+from httpz_spark.operators.traps import frontier_trap_split, url_path_template
 from httpz_spark.operators.politeness import (
     aimd_host_budgets,
     politeness_schedule,
@@ -254,6 +255,28 @@ class CrawlEngine:
             self.store.merge_upsert(
                 "host_budgets", self.store.read(staging_budgets), key="host")
 
+        # trap-guard bookkeeping: this wave's fetched-URL counts per (host,
+        # path-template), keyed by (host, template, wave_id) so a crash
+        # re-run REPLACES the same rows (merge_upsert is replace-by-key —
+        # an additive update would double-count on replay).  The per-wave
+        # grain keeps the table small (distinct templates x waves, StateStore
+        # compaction applies); _schedule sums it into the cumulative view.
+        if ecfg.trap_max_urls is not None:
+            tpl = (
+                out.select(
+                    "host",
+                    url_path_template(F.col("url_canon")).alias("template"),
+                )
+                .groupBy("host", "template")
+                .agg(F.count(F.lit(1)).alias("n_urls"))  # frontier rows are
+                #                       unique by url_hash -> count = distinct
+                .withColumn("wave_id", F.lit(wave_id))
+                .withColumn("tpl_key", F.concat_ws(
+                    "\x00", F.col("host"), F.col("template"),
+                    F.lit(str(wave_id))))
+            )
+            self.store.merge_upsert("template_counts", tpl, key="tpl_key")
+
         # MERGE results + seen (idempotent on url_hash)
         self.store.merge_upsert("results", out, key="url_hash")
         seen_rows = out.select(
@@ -347,6 +370,26 @@ class CrawlEngine:
             ready, seen, ecfg.partitions,
             bits_per_key=ecfg.bloom_bits_per_key, bloom=bloom,
         )
+        # crawler-trap guard: templates whose CUMULATIVE fetched-URL count
+        # (template_counts state, maintained by run_wave from actually
+        # fetched rows) crossed the cap trickle at most trap_keep new URLs
+        # into this wave; the overflow DEFERS (stays in the frontier) —
+        # throttle, never blackhole.  One broadcast join + a window over
+        # only the trapped subset (operators/traps.py).
+        trap_overflow = None
+        if ecfg.trap_max_urls is not None:
+            tpl_counts = self.store.read("template_counts")
+            if tpl_counts is not None:
+                traps = (
+                    tpl_counts.groupBy("host", "template")
+                    .agg(F.sum("n_urls").alias("_n"))
+                    .filter(F.col("_n") > ecfg.trap_max_urls)
+                    .select("host", "template")
+                )
+                unseen, trap_overflow = frontier_trap_split(
+                    unseen, traps, url_col="url_canon", host_col="host",
+                    keep=ecfg.trap_keep,
+                )
         ranked = politeness_schedule(
             unseen, self.robots, default_budget=ecfg.per_host_budget,
             pre_salt=ecfg.politeness_pre_salt,
@@ -357,6 +400,9 @@ class CrawlEngine:
         # floor((rank-1)/target) — free, perfectly balanced (politeness.py)
         scheduled = ranked.filter(F.col("scheduled")).drop("scheduled")
         deferred = ranked.filter(~F.col("scheduled")).drop("scheduled", "sched_rank")
+        if trap_overflow is not None:
+            deferred = deferred.select(*FRONTIER_COLS).unionByName(
+                trap_overflow.select(*FRONTIER_COLS))
         if ecfg.wave_limit is not None:
             scheduled = scheduled.orderBy("priority", "url_hash").limit(ecfg.wave_limit)
         return scheduled, deferred
