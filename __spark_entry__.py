@@ -1188,16 +1188,25 @@ def oracle_sql() -> dict[str, str]:
             traps AS (
                 SELECT host, template FROM tpl GROUP BY host, template
                 HAVING COUNT(DISTINCT url) > 100),
-            ranked AS (
-                SELECT t.host, t.url, t.template,
-                       tr.host IS NOT NULL AS trapped,
-                       row_number() OVER (
-                           PARTITION BY t.host, t.template
-                           ORDER BY t.url) AS rn
-                FROM tpl t LEFT JOIN traps tr
-                  ON t.host = tr.host AND t.template = tr.template)
-            SELECT host, url, template, trapped FROM ranked
-            WHERE NOT trapped OR rn <= 5
+            -- threshold semantics (mirrors operators/traps.py): keep the
+            -- 5 smallest DISTINCT urls of each trapped template
+            thr AS (
+                SELECT host, template, url AS thr FROM (
+                    SELECT d.host, d.template, d.url,
+                           row_number() OVER (
+                               PARTITION BY d.host, d.template
+                               ORDER BY d.url) AS rn
+                    FROM (SELECT DISTINCT host, template, url FROM tpl) d
+                    JOIN traps USING (host, template))
+                WHERE rn = 5)
+            SELECT t.host, t.url, t.template,
+                   tr.host IS NOT NULL AS trapped
+            FROM tpl t
+            LEFT JOIN traps tr
+              ON t.host = tr.host AND t.template = tr.template
+            LEFT JOIN thr h
+              ON t.host = h.host AND t.template = h.template
+            WHERE tr.host IS NULL OR h.thr IS NULL OR t.url <= h.thr
         """,
         "aimd_budgets": """
             WITH res AS (

@@ -126,37 +126,65 @@ def frontier_detrap(
     keep: int = 64,
     traps: DataFrame | None = None,
 ) -> DataFrame:
-    """Frontier with trapped templates capped at ``keep`` URLs each.
+    """Frontier with trapped templates capped at the ``keep``
+    lexicographically-smallest DISTINCT URLs each (all rows of a
+    surviving URL pass; for a URL-unique frontier — the engine's
+    invariant — that is exactly ``keep`` rows).  Healthy templates pass
+    untouched; a ``trapped`` flag records the intervention.
 
-    Healthy templates pass through untouched; rows of trapped templates
-    are ranked (lexicographic URL order — deterministic) and only the
-    first ``keep`` survive, with a ``trapped`` flag so lineage records
-    the intervention.  Plan shape: the window runs ONLY over the trapped
-    subset (never the full frontier — that shuffle is the thing this
-    operator exists to avoid), and although the union's two branches each
-    reference the trap aggregation, it sits inside an identical broadcast
-    exchange, so Spark's ReuseExchange rule evaluates it once (asserted
-    by tests/test_traps.py).  Callers that already hold a trap list from
-    a previous wave (streaming) pass it via ``traps`` and skip the
+    Plan shape (threshold formulation): instead of a
+    union-of-filtered-branches (which scans the frontier once per branch
+    — measured 21.3s at 4M rows), compute each trapped template's
+    ``keep``-th smallest distinct URL as a tiny broadcast THRESHOLD table
+    (distinct + rank over only the trapped subset, WindowGroupLimit
+    pushes the top-k below its shuffle), then keep every row with
+    ``url <= threshold`` in ONE pass over the frontier with two broadcast
+    joins.  A trapped template with fewer than ``keep`` distinct URLs has
+    no threshold row and keeps everything.  The window never touches the
+    healthy majority.  Callers that already hold a trap list from a
+    previous wave (streaming) pass it via ``traps`` and skip the
     aggregation entirely.
     """
     t = frontier.withColumn("template", url_path_template(F.col(url_col)))
     if traps is None:
-        traps = trap_templates(frontier, url_col, host_col, max_urls)
-    traps = F.broadcast(
+        # ONE distinct pass feeds BOTH the trap counts and the thresholds
+        # (identical subplans -> AQE ReusedExchange evaluates the distinct
+        # shuffle once); the alternative — trap_templates + a separate
+        # trapped-subset distinct — scans the frontier twice more
+        d = t.select(F.col(host_col).alias("host"), "template",
+                     F.col(url_col).alias("_u")).distinct()
+        traps = (
+            d.groupBy("host", "template")
+            .agg(F.count(F.lit(1)).alias("n_urls"))
+            .filter(F.col("n_urls") > max_urls)
+        )
+        thr_src = d
+    else:
+        thr_src = (
+            t.join(F.broadcast(traps.select("host", "template")),
+                   ["host", "template"])
+            .select("host", "template", F.col(url_col).alias("_u"))
+            .distinct()
+        )
+    traps_b = F.broadcast(
         traps.select("host", "template").withColumn("_trap", F.lit(True))
     )
-    j = t.join(traps, ["host", "template"], "left")
-    healthy = j.filter(F.col("_trap").isNull()).drop("_trap").withColumn(
-        "trapped", F.lit(False)
+    wd = Window.partitionBy("host", "template").orderBy(F.col("_u"))
+    thr = F.broadcast(
+        thr_src.join(F.broadcast(traps.select("host", "template")),
+                     ["host", "template"])
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == keep)
+        .select("host", "template", F.col("_u").alias("_thr"))
     )
-    w = Window.partitionBy("host", "template").orderBy(F.col(url_col))
-    capped = (
-        j.filter(F.col("_trap").isNotNull())
-        .drop("_trap")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .drop("_rn")
-        .withColumn("trapped", F.lit(True))
+    return (
+        t.join(traps_b, ["host", "template"], "left")
+        .join(thr, ["host", "template"], "left")
+        .filter(
+            F.col("_trap").isNull()
+            | F.col("_thr").isNull()
+            | (F.col(url_col) <= F.col("_thr"))
+        )
+        .withColumn("trapped", F.col("_trap").isNotNull())
+        .drop("_trap", "_thr")
     )
-    return healthy.unionByName(capped)

@@ -90,19 +90,16 @@ def test_detrap_precomputed_traps_skips_agg(spark):
 
 
 def test_detrap_plan_shape(spark):
-    """The trap agg is evaluated once (reused broadcast exchange), the
-    window never runs over the healthy branch, and the trap list rides a
-    broadcast join."""
+    """Threshold formulation: no union (ONE pass over the frontier with
+    two broadcast joins), the rank window touches only the trapped
+    subset's distinct URLs, and its top-k is pushed below the shuffle."""
     f = _frontier(spark)
     df = frontier_detrap(f, max_urls=10, keep=3)
-    df.collect()  # AQE's exchange reuse appears in the FINAL plan
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # one Window (trapped branch only), with the rank-limit pushed below
-    # the shuffle so at most `keep` rows per group shuffle at all
-    assert plan.count("Window [") <= 2  # one logical Window; AQE may print it per-stage
+    assert "Union" not in plan
+    assert plan.count("Window [") <= 2  # one logical Window (thr subplan)
     assert "WindowGroupLimit" in plan
-    # the trap agg's broadcast exchange is built once and reused
-    assert "ReusedExchange" in plan
