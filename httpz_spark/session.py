@@ -71,9 +71,19 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for the engine and ship
     the package to executors."""
-    master = master or os.environ.get("HTTPZ_SPARK_MASTER", "local[*]")
+    master = master or os.environ.get("HTTPZ_SPARK_MASTER")
+    if master is None:
+        # respect a master provided by the launch environment (spark-submit
+        # --master sets spark.master in the system properties SparkConf
+        # reads) — an unconditional .master() here would silently override
+        # the cluster with local[*] on every spark-submit deployment
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[*]"
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master
+         else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
