@@ -41,6 +41,16 @@ def main(argv=None) -> int:
                     help="build the politeness table by fetching and "
                          "parsing each host's /robots.txt (production "
                          "path) instead of the synthetic robots table")
+    ap.add_argument("--trap-max-urls", type=int, default=None,
+                    help="crawler-trap guard: cap on cumulative fetched "
+                         "URLs per (host, path-template); trapped "
+                         "templates trickle --trap-keep new URLs/wave, "
+                         "overflow defers (off when omitted)")
+    ap.add_argument("--trap-keep", type=int, default=64)
+    ap.add_argument("--adaptive-politeness", action="store_true",
+                    help="AIMD per-host budgets from observed latency/"
+                         "timeouts (halve on degradation, +1 on recovery)")
+    ap.add_argument("--slow-latency-ms", type=float, default=1000.0)
     ap.add_argument("--sitemap-seeds", action="store_true",
                     help="augment the seed file with sitemap-discovered "
                          "page URLs (robots Sitemap: lines -> sitemap/"
@@ -65,7 +75,11 @@ def main(argv=None) -> int:
     world = FB.FabricConfig(n_images=args.n_images, n_hosts=args.n_hosts).with_certs()
     scan_cfg = ScanConfig.all_on(discover_links=True, match_codes=match)
     engine_cfg = EngineConfig(
-        partitions=args.partitions, per_host_budget=args.budget, max_depth=args.depth
+        partitions=args.partitions, per_host_budget=args.budget,
+        max_depth=args.depth, trap_max_urls=args.trap_max_urls,
+        trap_keep=args.trap_keep,
+        adaptive_politeness=args.adaptive_politeness,
+        slow_latency_ms=args.slow_latency_ms,
     )
 
     if args.fetch_robots:
