@@ -437,6 +437,77 @@ def q_training_shard_decontam(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_pii_scrub(spark, sf_dir):
+    # PII redaction battery (emails / dotted IPv4s / dashed phones) over
+    # documents with deterministically injected PII on every 3rd doc —
+    # REAL SQL oracle: identical regexes replayed by DuckDB's RE2 (the
+    # patterns are kept in the Java-regex ∩ RE2 common subset).
+    from httpz_spark.operators.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com or 555-123-4567 from 10."),
+            (k % 200).cast("string"), F.lit(".0."),
+            (k % 250).cast("string")),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", injected.alias("text"))
+    return pii_scrub(base).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+
+
+def q_domain_mix(spark, sf_dir):
+    # per-domain quota sampling (domain balancing for the training mix):
+    # deterministic md5-rank keeps <= 8 docs per host — REAL SQL oracle
+    # (md5 hex agrees between Spark and DuckDB on utf-8 strings).
+    from httpz_spark.operators.curation import domain_quota_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+    )
+    return domain_quota_sample(d, quota=8).select("host", "doc_id", "samp_rank")
+
+
+def q_seq_pack(spark, sf_dir):
+    # concat-and-chunk sequence-packing manifest: per-shard cumulative
+    # token offsets, bin = floor(start/ctx) — REAL SQL oracle (window
+    # cumsum over the identical (shard, doc_id) order; packing is
+    # per-shard so there is no global sequential dependency).
+    from httpz_spark.operators.curation import seq_pack
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return seq_pack(d, ctx=1024, n_shards=8).select(
+        "shard", "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+
+
+def q_image_pair_filter(spark, sf_dir):
+    # IMAGE axis: LAION/DataComp-style image+caption gate battery over a
+    # deterministic image-meta frame derived from documents (the decode
+    # stage emits the same w/h/fmt contract for fetched payloads —
+    # tests/test_curation.py composes decode_stats -> image_pair_filter).
+    # REAL SQL oracle re-derives every signal in DuckDB.
+    from httpz_spark.operators.curation import image_pair_filter
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    meta = d.select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        (32 + (k * 13) % 2048).cast("int").alias("w"),
+        (32 + (k * 29) % 2048).cast("int").alias("h"),
+        F.when(k % 5 == 0, "jpeg").when(k % 5 == 1, "png")
+         .when(k % 5 == 2, "webp").when(k % 5 == 3, "gif")
+         .otherwise("bmp").alias("fmt"),
+        F.substring(_norm_col(), 1, 160).alias("caption"),
+    )
+    return image_pair_filter(meta).select(
+        "image_id", "w", "h", "fmt", "cap_tokens", "size_ok", "aspect_ok",
+        "fmt_ok", "cap_ok", "alpha_ok", "keep")
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -989,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _shipped(q_decontam),
         "training_shard_decontam": _shipped(q_training_shard_decontam),
         "gopher_quality": _shipped(q_gopher_quality),
+        "pii_scrub": _shipped(q_pii_scrub),
+        "domain_mix": _shipped(q_domain_mix),
+        "seq_pack": _shipped(q_seq_pack),
+        "image_pair_filter": _shipped(q_image_pair_filter),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -1358,6 +1433,92 @@ def oracle_sql() -> dict[str, str]:
                     / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s
               FROM documents
             )
+        """,
+        # PII scrub: plain string (regex braces), patterns in the
+        # Java-regex ∩ RE2 common subset so both engines agree exactly
+        "pii_scrub": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-4567 from 10.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                       || CAST(doc_id % 250 AS VARCHAR)
+                     ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+            FROM base
+        """,
+        "domain_mix": """
+            SELECT host, doc_id, samp_rank FROM (
+              SELECT host, doc_id,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank
+              FROM (SELECT doc_id,
+                           'h' || CAST(doc_id % 37 AS VARCHAR) AS host
+                    FROM documents))
+            WHERE samp_rank <= 8
+        """,
+        "seq_pack": f"""
+            WITH toks AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CASE WHEN {_NORM_DUCK} = '' THEN 0
+                          ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tok
+              FROM documents),
+            b AS (
+              SELECT shard, doc_id, n_tok,
+                     CAST(floor((sum(n_tok) OVER (
+                         PARTITION BY shard ORDER BY doc_id) - n_tok) / 1024.0)
+                       AS BIGINT) AS bin_id
+              FROM toks)
+            SELECT shard, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM b GROUP BY shard, bin_id
+        """,
+        # cap_tokens re-trims the 160-char cut (token_count normalizes its
+        # input again Spark-side, so a trailing cut-space never counts)
+        "image_pair_filter": f"""
+            WITH meta AS (
+              SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+                     CAST(32 + (doc_id * 13) % 2048 AS INT) AS w,
+                     CAST(32 + (doc_id * 29) % 2048 AS INT) AS h,
+                     CASE doc_id % 5 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                          WHEN 2 THEN 'webp' WHEN 3 THEN 'gif'
+                          ELSE 'bmp' END AS fmt,
+                     substr({_NORM_DUCK}, 1, 160) AS caption
+              FROM documents),
+            sig AS (
+              SELECT *,
+                     CASE WHEN trim(caption) = '' THEN 0
+                          ELSE len(string_split(trim(caption), ' ')) END
+                       AS cap_tokens,
+                     len(regexp_extract_all(caption, '[A-Za-z]')) * 1.0
+                       / greatest(length(caption), 1) AS alpha_ratio
+              FROM meta)
+            SELECT image_id, w, h, fmt, cap_tokens,
+                   least(w, h) >= 200 AS size_ok,
+                   greatest(w, h) * 1.0 <= 3.0 * least(w, h) AS aspect_ok,
+                   fmt IN ('jpeg', 'png', 'webp') AS fmt_ok,
+                   cap_tokens BETWEEN 2 AND 77 AS cap_ok,
+                   alpha_ratio >= 0.5 AS alpha_ok,
+                   (least(w, h) >= 200
+                    AND greatest(w, h) * 1.0 <= 3.0 * least(w, h)
+                    AND fmt IN ('jpeg', 'png', 'webp')
+                    AND cap_tokens BETWEEN 2 AND 77
+                    AND alpha_ratio >= 0.5) AS keep
+            FROM sig
         """,
         "lang_id": f"""
             WITH c AS (

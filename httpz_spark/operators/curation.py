@@ -1,0 +1,167 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+scrubbing, per-domain quota sampling (domain mixing), sequence packing
+(concat-and-chunk), and image+caption pair filtering (a LAION/DataComp
+style gate battery).
+
+The reference engine stops at capture (httpz_scanner/scanner.py builds
+the result dict and stops); these operators extend the pipeline from
+captured payloads to training shards — the training-data-pipeline
+surface of SURVEY §2 Part C.
+
+All pure native column expressions / window functions (whole-stage
+codegen, zero Python UDFs); every formula is deliberately expressible in
+ANSI SQL so the DuckDB oracle can replay it exactly.
+
+Scale notes (100 TB):
+- ``pii_scrub`` is a map-only stage — no shuffle, fully codegen'd
+  regexp kernels.
+- ``domain_quota_sample`` shuffles once on the domain key; because the
+  rank filter is a row_number <= k, Catalyst plants a PARTIAL
+  WindowGroupLimit before the exchange, so a hot host ships at most
+  quota rows per map task — skew is bounded map-side, no salting needed.
+- ``seq_pack`` avoids the classic global-cumsum trap: packing is done
+  independently per hash shard, so the window sort is per-shard and the
+  whole job is embarrassingly parallel across shards (this is how
+  pretraining tokenizers shard packing in practice).
+- ``image_pair_filter`` is map-only over the image-meta frame; in the
+  crawl pipeline it composes directly on the decoded-payload frame from
+  ``operators.multimodal.decode_stats`` joined with its caption column
+  (same w / h / fmt contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from httpz_spark.operators.textstats import token_count
+
+# (name, java+RE2-common regex, replacement token).  Order matters only
+# if patterns can overlap; these are constructed disjoint (email needs
+# '@', ipv4 is dotted-only, phone is dashed-only) so the sequential
+# scrub is order-independent.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+              out_col: str = "scrubbed") -> DataFrame:
+    """Redact PII spans and count them per category.
+
+    Adds ``n_<name>`` (match count against the ORIGINAL text) per
+    pattern plus ``out_col`` with every pattern replaced by its token,
+    applied in declaration order.  Map-only, all-native
+    (regexp_count/regexp_replace are codegen'd JVM kernels).
+    """
+    scrubbed: Column = F.col(text_col)
+    counts = []
+    for name, pat, _ in patterns:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+    for _, pat, tok in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return df.select("*", *counts, scrubbed.alias(out_col))
+
+
+def domain_quota_sample(df: DataFrame, host_col: str = "host",
+                        key_col: str = "doc_id", quota: int = 8,
+                        rank_col: str = "samp_rank") -> DataFrame:
+    """Cap each domain at ``quota`` docs, picked by deterministic md5
+    rank (RefinedWeb-style domain balancing so over-crawled hosts don't
+    dominate the training mix).
+
+    One shuffle on ``host_col``; the within-host sort is the window
+    sort.  Deterministic: rank orders by (md5(key), key), so reruns and
+    resumes pick identical survivors.  Catalyst's WindowGroupLimit
+    rewrite (visible in the executed plan) truncates each map task's
+    output to quota rows per host BEFORE the exchange, so even a
+    single mega-host never ships more than quota * n_tasks rows.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    rank_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(host_col).orderBy(rank_key, F.col(key_col))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= quota))
+
+
+def seq_pack(df: DataFrame, text_col: str = "text",
+             key_col: str = "doc_id", ctx: int = 2048,
+             n_shards: int = 16) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: deterministic order
+    within hash shards, cumulative token offsets, a doc lands in the
+    context bin its first token falls into (bin = floor(start / ctx)).
+
+    Returns one row per (shard, bin): n_docs, n_tokens, first/last doc.
+    Packing has no global sequential dependency — each shard packs
+    independently, so the window sort is per-shard (local[N] and a
+    1000-executor cluster both scale linearly in shard count).
+    """
+    if ctx < 1 or n_shards < 1:
+        raise ValueError(f"ctx and n_shards must be >= 1: {ctx}, {n_shards}")
+    toks = df.select(
+        F.col(key_col),
+        (F.col(key_col) % n_shards).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(key_col)
+    binned = toks.select(
+        "shard", key_col, "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / ctx)
+         .alias("bin_id"),
+    )
+    return (binned.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.min(key_col).alias("first_doc"),
+                 F.max(key_col).alias("last_doc")))
+
+
+def image_pair_filter(imgs: DataFrame, *, min_side: int = 200,
+                      max_aspect: float = 3.0,
+                      fmts: tuple[str, ...] = ("jpeg", "png", "webp"),
+                      min_caption_tokens: int = 2,
+                      max_caption_tokens: int = 77,
+                      min_alpha_ratio: float = 0.5) -> DataFrame:
+    """LAION/DataComp-style image+caption pair gate.
+
+    Input contract: (w:int, h:int, fmt:string, caption:string) — the
+    columns ``multimodal.decode_stats`` emits for fetched payloads
+    joined with the pair table's caption, or any image-meta frame.
+    Adds one boolean per signal plus the composite ``keep``:
+
+    - size_ok:   min(w, h) >= min_side
+    - aspect_ok: max(w, h) <= max_aspect * min(w, h)  (int-safe: no division)
+    - fmt_ok:    fmt in fmts
+    - cap_ok:    whitespace token count in [min_caption_tokens, max_caption_tokens]
+    - alpha_ok:  [A-Za-z] char ratio of caption >= min_alpha_ratio
+
+    Map-only; every signal is a codegen'd native expression.
+    """
+    w_, h_ = F.col("w"), F.col("h")
+    cap = F.col("caption")
+    cap_tokens = token_count(cap)
+    alpha_ratio = (
+        F.regexp_count(cap, F.lit(r"[A-Za-z]")).cast("double")
+        / F.greatest(F.length(cap), F.lit(1)).cast("double"))
+    size_ok = F.least(w_, h_) >= F.lit(min_side)
+    aspect_ok = (F.greatest(w_, h_).cast("double")
+                 <= F.lit(float(max_aspect)) * F.least(w_, h_).cast("double"))
+    fmt_ok = F.col("fmt").isin(*fmts)
+    cap_ok = ((cap_tokens >= F.lit(min_caption_tokens))
+              & (cap_tokens <= F.lit(max_caption_tokens)))
+    alpha_ok = alpha_ratio >= F.lit(float(min_alpha_ratio))
+    return imgs.select(
+        "*",
+        size_ok.alias("size_ok"),
+        aspect_ok.alias("aspect_ok"),
+        fmt_ok.alias("fmt_ok"),
+        cap_tokens.alias("cap_tokens"),
+        cap_ok.alias("cap_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (size_ok & aspect_ok & fmt_ok & cap_ok & alpha_ok).alias("keep"),
+    )
