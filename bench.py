@@ -328,6 +328,9 @@ def table_queries(spark) -> tuple:
         "cosine_topk", "url_canonicalize", "shard_filter",
         "training_shard", "winnow_fingerprints", "pq_ann_topk",
         "pq_ann_topk_256", "gopher_quality",
+        # round-6 curation stages (regex map / window-group-limit shuffle /
+        # per-shard cumsum / map-only gate battery)
+        "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
     ]
     qs = E.queries()
     times, loads = {}, {}
