@@ -508,6 +508,70 @@ def q_image_pair_filter(spark, sf_dir):
         "fmt_ok", "cap_ok", "alpha_ok", "keep")
 
 
+_C4_HEADER = (
+    "Shared header alpha one. Shared header alpha two.\n"
+    "Shared header beta one. Shared header beta two.\n"
+    "Shared header gamma one. Shared header gamma two.")
+
+
+def _c4_docs(spark, sf_dir):
+    # C4-shaped corpus derived deterministically from documents (the raw
+    # table is a punctuation-free word stream): 12-word chunks become
+    # 2-sentence lines; every 4th line loses its terminal punctuation,
+    # every 6th gains a 'javascript' marker (line-filter fixtures);
+    # every 11th doc appends a brace line, every 13th a lorem line
+    # (page-gate fixtures).  The corpus's exact-duplicate docs produce
+    # duplicated 3-sentence spans, so the span dedup fires cross-corpus.
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    wn = F.split(_norm_col(), " ")
+    m = F.floor(F.size(wn) / 12).cast("int")
+    idx = F.when(m >= 1, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>"))
+    lines = F.transform(idx, lambda i: F.concat(
+        F.array_join(F.slice(wn, i * 12 + 1, 6), " "),
+        F.lit(". "),
+        F.array_join(F.slice(wn, i * 12 + 7, 6), " "),
+        F.when(i % 4 == 3, F.lit(""))
+         .when(i % 6 == 5, F.lit(" javascript."))
+         .otherwise(F.lit(".")),
+    ))
+    body = F.array_join(lines, "\n")
+    base = (
+        F.when(k % 11 == 0, F.concat(body, F.lit("\nvar x = { y }.")))
+         .when(k % 13 == 0,
+               F.concat(body, F.lit("\nLorem ipsum dolor sit amet today.")))
+         .otherwise(body))
+    # every 17th doc shares a fixed 3-line header -> its first three
+    # '. '-split parts are identical corpus-wide, so the span dedup has
+    # a guaranteed duplicated-span family to drop (first doc keeps it)
+    text = F.when(k % 17 == 0,
+                  F.concat(F.lit(_C4_HEADER + "\n"), base)).otherwise(base)
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_c4_line_filters(spark, sf_dir):
+    # C4 line filters + page gates (Raffel et al. 2019 §2.2) over the
+    # derived C4-shaped corpus — REAL SQL oracle (list_transform /
+    # list_filter replay the higher-order array expressions exactly).
+    from httpz_spark.operators.c4rules import c4_line_filters
+
+    return c4_line_filters(_c4_docs(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_lines", "n_lines_kept", "n_sentences",
+        "has_brace", "has_lorem", "page_keep")
+
+
+def q_c4_clean(spark, sf_dir):
+    # full C4 pipeline: line filters -> page gates -> cross-corpus
+    # three-sentence-span dedup (first global occurrence wins) — REAL
+    # SQL oracle: the span window, drop set, and ordered reassembly all
+    # re-derived in DuckDB.
+    from httpz_spark.operators.c4rules import c4_clean
+
+    return c4_clean(_c4_docs(spark, sf_dir)).select(
+        "doc_id", "dedup_text", "n_sentences", "n_sent_dropped")
+
+
 def q_cosine_topk(spark, sf_dir):
     from httpz_spark.operators.similarity import cosine_topk
 
@@ -1064,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _shipped(q_domain_mix),
         "seq_pack": _shipped(q_seq_pack),
         "image_pair_filter": _shipped(q_image_pair_filter),
+        "c4_line_filters": _shipped(q_c4_line_filters),
+        "c4_clean": _shipped(q_c4_clean),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -1140,6 +1206,65 @@ _TRAP_TPL_CTES = """
                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
                          '[?#].*$', '') AS p
               FROM f))
+"""
+
+
+# shared CTEs for the C4 queries: rebuild _c4_docs's derived corpus in
+# DuckDB (12-word chunks -> 2-sentence lines, drop/marker/page-gate
+# fixtures).  f-string: literal SQL braces are doubled.
+_C4_HEADER_SQL = "'" + _C4_HEADER.replace("\n", "' || chr(10) || '") + "'"
+_C4_DOCS_CTES = f"""
+    w AS (SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS wn
+          FROM documents),
+    lns AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(len(wn) // 12 AS INT)),
+               i -> array_to_string(wn[i*12+1 : i*12+6], ' ')
+                    || '. '
+                    || array_to_string(wn[i*12+7 : i*12+12], ' ')
+                    || CASE WHEN i % 4 = 3 THEN ''
+                            WHEN i % 6 = 5 THEN ' javascript.'
+                            ELSE '.' END) AS lines
+      FROM w),
+    docs2b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN
+                    coalesce(array_to_string(lines, chr(10)), '')
+                    || chr(10) || 'var x = {{ y }}.'
+                  WHEN doc_id % 13 = 0 THEN
+                    coalesce(array_to_string(lines, chr(10)), '')
+                    || chr(10) || 'Lorem ipsum dolor sit amet today.'
+                  ELSE coalesce(array_to_string(lines, chr(10)), '')
+             END AS base
+      FROM lns),
+    docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN
+                    {_C4_HEADER_SQL} || chr(10) || base
+                  ELSE base END AS text
+      FROM docs2b)
+"""
+
+# the C4 line-filter + page-gate derivation over docs2 (shared by both
+# C4 oracles); emits doc_id, text (original), n_lines, kept (list)
+_C4_LINEFILTER_CTES = """
+    t AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)),
+                            x -> trim(x)) AS tl,
+             len(string_split(text, chr(10))) AS n_lines
+      FROM docs2),
+    k AS (
+      SELECT doc_id, text, n_lines,
+             list_filter(tl, x ->
+               regexp_matches(x, '[.!?"]$')
+               AND (CASE WHEN trim(regexp_replace(x, '[ \\t]+', ' ', 'g')) = ''
+                    THEN 0
+                    ELSE len(string_split(trim(regexp_replace(x, '[ \\t]+', ' ', 'g')), ' '))
+                    END) >= 3
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM t)
 """
 
 
@@ -1519,6 +1644,66 @@ def oracle_sql() -> dict[str, str]:
                     AND cap_tokens BETWEEN 2 AND 77
                     AND alpha_ratio >= 0.5) AS keep
             FROM sig
+        """,
+        # C4 rules over the derived corpus (shared CTE constants above)
+        "c4_line_filters": f"""
+            WITH {_C4_DOCS_CTES},
+            {_C4_LINEFILTER_CTES}
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   n_lines, len(kept) AS n_lines_kept,
+                   len(regexp_extract_all(
+                       coalesce(array_to_string(kept, chr(10)), ''),
+                       '[.!?]')) AS n_sentences,
+                   contains(text, '{{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   (len(regexp_extract_all(
+                        coalesce(array_to_string(kept, chr(10)), ''),
+                        '[.!?]')) >= 5
+                    AND NOT contains(text, '{{')
+                    AND NOT contains(lower(text), 'lorem ipsum')) AS page_keep
+            FROM k
+        """,
+        "c4_clean": f"""
+            WITH {_C4_DOCS_CTES},
+            {_C4_LINEFILTER_CTES},
+            kc AS (
+              SELECT doc_id, text,
+                     coalesce(array_to_string(kept, chr(10)), '') AS ctext
+              FROM k),
+            g AS (
+              SELECT doc_id, ctext
+              FROM kc
+              WHERE len(regexp_extract_all(ctext, '[.!?]')) >= 5
+                AND NOT contains(text, '{{')
+                AND NOT contains(lower(text), 'lorem ipsum')),
+            s AS (SELECT doc_id, string_split(ctext, '. ') AS sents FROM g),
+            sp0 AS (SELECT doc_id, sents,
+                           unnest(range(1, len(sents) - 1)) AS i
+                    FROM s),
+            sp AS (SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+                          md5(array_to_string(sents[i:i+2], '|')) AS span_h
+                   FROM sp0),
+            occ AS (SELECT doc_id, span_idx,
+                           row_number() OVER (
+                             PARTITION BY span_h
+                             ORDER BY doc_id, span_idx) AS rn
+                    FROM sp),
+            dr AS (SELECT DISTINCT doc_id,
+                          span_idx + unnest([0, 1, 2]) AS sent_idx
+                   FROM occ WHERE rn > 1),
+            se AS (SELECT doc_id, len(sents) AS n_sent,
+                          CAST(unnest(range(len(sents))) AS INT) AS sent_idx,
+                          unnest(sents) AS sent
+                   FROM s),
+            kp AS (SELECT se.doc_id, se.n_sent, se.sent_idx, se.sent
+                   FROM se ANTI JOIN dr
+                     ON se.doc_id = dr.doc_id AND se.sent_idx = dr.sent_idx)
+            SELECT doc_id,
+                   string_agg(sent, '. ' ORDER BY sent_idx) AS dedup_text,
+                   any_value(n_sent) AS n_sentences,
+                   CAST(any_value(n_sent) - count(*) AS INT) AS n_sent_dropped
+            FROM kp GROUP BY doc_id
         """,
         "lang_id": f"""
             WITH c AS (
