@@ -437,6 +437,25 @@ def q_training_shard_decontam(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_training_shard_curated(spark, sf_dir):
+    # the END-TO-END curated capstone: near-dup dedup + eval decontam +
+    # quality gate (the decontam manifest) -> per-domain quota sampling
+    # -> concat-and-chunk packing manifest.  One plan from raw docs to
+    # packed-context manifest; REAL SQL oracle wraps the decontam SQL
+    # as a CTE and replays the quota window + packing cumsum.
+    from httpz_spark.operators.curation import domain_quota_sample, seq_pack
+
+    manifest = q_training_shard_decontam(spark, sf_dir)
+    hosts = manifest.select(
+        "doc_id", "n_tokens",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+    )
+    sampled = domain_quota_sample(hosts, quota=8)
+    return seq_pack(sampled, ctx=1024, n_shards=8,
+                    tokens_col="n_tokens").select(
+        "shard", "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+
+
 def q_pii_scrub(spark, sf_dir):
     # PII redaction battery (emails / dotted IPv4s / dashed phones) over
     # documents with deterministically injected PII on every 3rd doc —
@@ -1123,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shard_substr": _shipped(q_training_shard_substr),
         "decontam": _shipped(q_decontam),
         "training_shard_decontam": _shipped(q_training_shard_decontam),
+        "training_shard_curated": _shipped(q_training_shard_curated),
         "gopher_quality": _shipped(q_gopher_quality),
         "pii_scrub": _shipped(q_pii_scrub),
         "domain_mix": _shipped(q_domain_mix),
@@ -1269,6 +1289,9 @@ _C4_LINEFILTER_CTES = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # the decontam capstone manifest is also the input of the curated
+    # capstone, so build its SQL once and wrap it there as a CTE
+    decontam_sql = _training_shard_decontam_sql()
     return {
         # golden-file oracles (murmur3/xxhash64 kernels, fabric, iterative
         # wave state — DuckDB lacks the kernels; see scripts/make_goldens.py)
@@ -1857,7 +1880,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # capstone + decontamination: pair graph over the TRAIN split only,
         # drop-list = CC non-canonicals UNION eval-overlap docs
-        "training_shard_decontam": f"""
+        "training_shard_decontam": decontam_sql,
+        # curated capstone: the decontam manifest -> per-domain quota
+        # sample (md5 rank <= 8) -> concat-and-chunk packing manifest
+        "training_shard_curated": f"""
+            WITH manifest AS ({decontam_sql}),
+            hosts AS (
+              SELECT doc_id, n_tokens,
+                     'h' || CAST(doc_id % 37 AS VARCHAR) AS host
+              FROM manifest),
+            ranked AS (
+              SELECT doc_id, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS samp_rank
+              FROM hosts),
+            sampled AS (
+              SELECT doc_id, n_tokens FROM ranked WHERE samp_rank <= 8),
+            b AS (
+              SELECT doc_id % 8 AS shard, doc_id, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (
+                         PARTITION BY doc_id % 8 ORDER BY doc_id)
+                         - n_tokens) / 1024.0) AS BIGINT) AS bin_id
+              FROM sampled)
+            SELECT shard, bin_id, count(*) AS n_docs,
+                   sum(n_tokens) AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM b GROUP BY shard, bin_id
+        """,
+        # Gopher quality: every formula replayed in SQL (per-row signals
+        # over the same normalized text; per-n gram CTEs generated by
+        # _gopher_oracle_sql — top gram via window with the
+        # lexicographically-smallest tie-break, dup fractions capped at 1)
+        "gopher_quality": _gopher_oracle_sql(),
+        "cosine_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+            QUALIFY rank <= 5
+        """,
+    }
+
+
+_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _training_shard_decontam_sql() -> str:
+    """The decontam-capstone oracle SQL (also wrapped as a CTE by the
+    curated capstone)."""
+    return f"""
             WITH RECURSIVE tr AS (
               SELECT * FROM documents WHERE doc_id % 10 != {_EVAL_SPLIT}
             ),
@@ -1911,28 +1989,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, quality FROM scored
             WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
-        """,
-        # Gopher quality: every formula replayed in SQL (per-row signals
-        # over the same normalized text; per-n gram CTEs generated by
-        # _gopher_oracle_sql — top gram via window with the
-        # lexicographically-smallest tie-break, dup fractions capped at 1)
-        "gopher_quality": _gopher_oracle_sql(),
-        "cosine_topk": """
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(c.embedding::DOUBLE[],
-                                                q.embedding::DOUBLE[]), 6) AS cos_sim,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-                                                     q.embedding::DOUBLE[]) DESC,
-                              c.vec_id) AS rank
-            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-            QUALIFY rank <= 5
-        """,
-    }
-
-
-_NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+        """
 
 
 def _shingle_cte(k: int, src: str = "documents", name: str = "sh") -> str:

@@ -329,8 +329,10 @@ def table_queries(spark) -> tuple:
         "training_shard", "winnow_fingerprints", "pq_ann_topk",
         "pq_ann_topk_256", "gopher_quality",
         # round-6 curation stages (regex map / window-group-limit shuffle /
-        # per-shard cumsum / map-only gate battery)
+        # per-shard cumsum / map-only gate battery), the C4 battery, and
+        # the end-to-end curated capstone
         "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
+        "c4_clean", "training_shard_curated",
     ]
     qs = E.queries()
     times, loads = {}, {}

@@ -91,7 +91,7 @@ def domain_quota_sample(df: DataFrame, host_col: str = "host",
 
 def seq_pack(df: DataFrame, text_col: str = "text",
              key_col: str = "doc_id", ctx: int = 2048,
-             n_shards: int = 16) -> DataFrame:
+             n_shards: int = 16, tokens_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing manifest: deterministic order
     within hash shards, cumulative token offsets, a doc lands in the
     context bin its first token falls into (bin = floor(start / ctx)).
@@ -100,13 +100,19 @@ def seq_pack(df: DataFrame, text_col: str = "text",
     Packing has no global sequential dependency — each shard packs
     independently, so the window sort is per-shard (local[N] and a
     1000-executor cluster both scale linearly in shard count).
+
+    ``tokens_col`` names a precomputed token-count column (skips the
+    whitespace count over ``text_col`` — used when an upstream stage
+    already scored the docs, e.g. the curated capstone).
     """
     if ctx < 1 or n_shards < 1:
         raise ValueError(f"ctx and n_shards must be >= 1: {ctx}, {n_shards}")
+    tok = (F.col(tokens_col) if tokens_col
+           else token_count(F.col(text_col)))
     toks = df.select(
         F.col(key_col),
         (F.col(key_col) % n_shards).alias("shard"),
-        token_count(F.col(text_col)).alias("n_tok"),
+        tok.alias("n_tok"),
     )
     w = Window.partitionBy("shard").orderBy(key_col)
     binned = toks.select(

@@ -132,6 +132,19 @@ def test_seq_pack_empty_doc_counts_zero_tokens(spark):
     assert (rows[0]["n_docs"], rows[0]["n_tokens"]) == (3, 2)
 
 
+def test_seq_pack_precomputed_tokens_col(spark):
+    # tokens_col skips the text split; same bins as the text path when
+    # the counts agree
+    df = spark.createDataFrame(
+        [(i, "w " * 6, 6) for i in range(4)],
+        "doc_id long, text string, n_tokens long",
+    )
+    via_text = seq_pack(df, ctx=12, n_shards=1).collect()
+    via_col = seq_pack(df, ctx=12, n_shards=1, tokens_col="n_tokens").collect()
+    key = lambda r: (r["shard"], r["bin_id"], r["n_docs"], r["n_tokens"])
+    assert sorted(map(key, via_text)) == sorted(map(key, via_col))
+
+
 def test_seq_pack_rejects_bad_args(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
