@@ -1003,6 +1003,33 @@ def q_image_training_shard(spark, sf_dir):
         "image_id", "caption", "phash", "dup_count")
 
 
+def q_image_curated_shard(spark, sf_dir):
+    # IMAGE-axis end-to-end capstone: the LAION-style gate battery
+    # (meta derived deterministically from the phash so the SQL oracle
+    # can replay it: pmod-spread w/h, fmt wheel) filters the pair table,
+    # THEN caption-exact + pHash-near dedup runs on the survivors —
+    # filter-before-dedup, the production order (cheap map gate prunes
+    # the shuffle).  REAL SQL oracle shares the shard CTEs with
+    # image_training_shard and re-derives every gate signal.
+    from httpz_spark.operators.curation import image_pair_filter
+    from httpz_spark.operators.imageshard import image_training_shard
+
+    imgs = _image_table(spark)
+    ph = F.col("phash")
+    meta = imgs.select(
+        "image_id", "caption", "phash",
+        (F.pmod(ph, F.lit(1024)) + 32).cast("int").alias("w"),
+        (F.pmod(F.pmod(ph, F.lit(1024)) * 7, F.lit(1024)) + 32)
+        .cast("int").alias("h"),
+        F.when(F.pmod(ph, F.lit(5)) == 0, "gif").otherwise("jpeg")
+        .alias("fmt"),
+    )
+    kept = (image_pair_filter(meta).filter("keep")
+            .select("image_id", "caption", "phash"))
+    return image_training_shard(kept).select(
+        "image_id", "caption", "phash", "dup_count")
+
+
 def _reval_candidates(spark):
     # conditional-revalidation candidates over CLEAN direct-200 fabric
     # pages (failure-ladder interplay is crawl_single_wave's job): a
@@ -1180,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_detrap": _shipped(q_frontier_detrap),
         "image_table": _shipped(q_image_table),
         "image_training_shard": _shipped(q_image_training_shard),
+        "image_curated_shard": _shipped(q_image_curated_shard),
         "revalidate_wave": _shipped(q_revalidate_wave),
     }
 
@@ -1320,40 +1348,40 @@ def oracle_sql() -> dict[str, str]:
         # the golden input frame — caption star edges, brute-force
         # bit_count(xor()) hamming pairs (the engine must NEVER do
         # all-pairs; the oracle may), recursive-CTE components, keep-rule
-        "image_training_shard": f"""
-            WITH RECURSIVE imgs AS (
+        "image_training_shard": _image_shard_sql(
+            f"""imgs AS (
+                SELECT * FROM read_parquet('{_GOLDEN}/image_table.parquet'))"""),
+        # image curated capstone: the LAION-style gate battery (meta
+        # derived from the phash: pmod-spread w/h, fmt wheel) filters the
+        # pair table BEFORE the shard derivation
+        "image_curated_shard": _image_shard_sql(f"""
+            imgs0 AS (
                 SELECT * FROM read_parquet('{_GOLDEN}/image_table.parquet')),
-            capg AS (
-                SELECT caption, min(image_id) AS keep, count(*) AS n
-                FROM imgs GROUP BY caption),
-            cape AS (
-                SELECT g.keep AS a, i.image_id AS b
-                FROM imgs i JOIN capg g ON i.caption = g.caption
-                WHERE g.n > 1 AND i.image_id <> g.keep),
-            ph AS (
-                SELECT x.image_id AS a, y.image_id AS b
-                FROM imgs x JOIN imgs y ON x.image_id < y.image_id
-                WHERE bit_count(xor(x.phash, y.phash)) <= 2),
-            p AS (SELECT a, b FROM cape UNION SELECT a, b FROM ph),
-            e AS (SELECT a AS x, b AS y FROM p
-                  UNION SELECT b AS x, a AS y FROM p),
-            reach(id, r) AS (
-                SELECT x, y FROM e
-                UNION
-                SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x),
-            comp AS (
-                SELECT id, least(id, min(r)) AS canonical
-                FROM reach GROUP BY id),
-            sizes AS (
-                SELECT canonical, count(*) AS dup_count
-                FROM comp GROUP BY canonical)
-            SELECT i.image_id, i.caption, i.phash,
-                   COALESCE(s.dup_count, 1) AS dup_count
-            FROM imgs i
-            LEFT JOIN sizes s ON i.image_id = s.canonical
-            WHERE i.image_id NOT IN (
-                SELECT id FROM comp WHERE id <> canonical)
-        """,
+            meta AS (
+                SELECT image_id, caption, phash,
+                       CAST(((phash % 1024) + 1024) % 1024 + 32 AS INT) AS w,
+                       CAST((((phash % 1024) + 1024) % 1024 * 7) % 1024 + 32
+                         AS INT) AS h,
+                       CASE WHEN ((phash % 5) + 5) % 5 = 0
+                            THEN 'gif' ELSE 'jpeg' END AS fmt
+                FROM imgs0),
+            sig AS (
+                SELECT *,
+                       CASE WHEN trim(regexp_replace(caption,
+                              '[ \\t\\n\\r\\f]+', ' ', 'g')) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(caption,
+                              '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '))
+                       END AS cap_tokens,
+                       len(regexp_extract_all(caption, '[A-Za-z]')) * 1.0
+                         / greatest(length(caption), 1) AS alpha_ratio
+                FROM meta),
+            imgs AS (
+                SELECT image_id, caption, phash FROM sig
+                WHERE least(w, h) >= 200
+                  AND greatest(w, h) * 1.0 <= 3.0 * least(w, h)
+                  AND fmt IN ('jpeg', 'png', 'webp')
+                  AND cap_tokens BETWEEN 2 AND 77
+                  AND alpha_ratio >= 0.5)"""),
         "winnow_dup_pairs": f"""
             WITH fps AS (SELECT doc_id, fp
                          FROM read_parquet('{_GOLDEN}/winnow_fingerprints.parquet')),
@@ -1930,6 +1958,47 @@ def oracle_sql() -> dict[str, str]:
 
 
 _NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _image_shard_sql(imgs_ctes: str) -> str:
+    """The image-shard derivation in DuckDB over a CTE chain that ends by
+    defining ``imgs`` (image_id, caption, phash): caption star edges,
+    brute-force bit_count(xor()) hamming pairs (the engine must NEVER do
+    all-pairs; the oracle may), recursive-CTE components, keep-rule.
+    Shared by the plain and curated image capstones."""
+    return f"""
+            WITH RECURSIVE {imgs_ctes},
+            capg AS (
+                SELECT caption, min(image_id) AS keep, count(*) AS n
+                FROM imgs GROUP BY caption),
+            cape AS (
+                SELECT g.keep AS a, i.image_id AS b
+                FROM imgs i JOIN capg g ON i.caption = g.caption
+                WHERE g.n > 1 AND i.image_id <> g.keep),
+            ph AS (
+                SELECT x.image_id AS a, y.image_id AS b
+                FROM imgs x JOIN imgs y ON x.image_id < y.image_id
+                WHERE bit_count(xor(x.phash, y.phash)) <= 2),
+            p AS (SELECT a, b FROM cape UNION SELECT a, b FROM ph),
+            e AS (SELECT a AS x, b AS y FROM p
+                  UNION SELECT b AS x, a AS y FROM p),
+            reach(id, r) AS (
+                SELECT x, y FROM e
+                UNION
+                SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x),
+            comp AS (
+                SELECT id, least(id, min(r)) AS canonical
+                FROM reach GROUP BY id),
+            sizes AS (
+                SELECT canonical, count(*) AS dup_count
+                FROM comp GROUP BY canonical)
+            SELECT i.image_id, i.caption, i.phash,
+                   COALESCE(s.dup_count, 1) AS dup_count
+            FROM imgs i
+            LEFT JOIN sizes s ON i.image_id = s.canonical
+            WHERE i.image_id NOT IN (
+                SELECT id FROM comp WHERE id <> canonical)
+        """
 
 
 def _training_shard_decontam_sql() -> str:
