@@ -46,6 +46,11 @@ QUERIES = [
     "gopher_quality", "winnow_dup_pairs",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfpq_ann_topk",
     "embedding_near_dups",
+    # round-6 curation / C4 / capstone (word suffixes keep each replica's
+    # span + shingle structure disjoint; the shared C4 header is the one
+    # deliberate cross-replica dup family)
+    "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
+    "c4_line_filters", "c4_clean", "training_shard_curated",
 ]
 
 
@@ -120,9 +125,15 @@ def main() -> None:
     for name in queries:
         row = {}
         for label, sf in (("x1", SF_DIR), (f"x{n}", out_dir)):
+            # time a noop write (materializes EVERY column — a bare
+            # count() lets Catalyst prune map-only projections down to a
+            # file scan, under-measuring the regex/array kernels); the
+            # row count is taken untimed afterwards
             t0 = time.time()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 2)
             out_rows = qs[name](spark, sf).count()
-            row[label] = {"sec": round(time.time() - t0, 2), "rows": out_rows}
+            row[label] = {"sec": sec, "rows": out_rows}
         row["ratio"] = round(row[f"x{n}"]["sec"] / max(row["x1"]["sec"], 1e-9), 1)
         results[name] = row
         print(f"{name}: x1 {row['x1']['sec']}s ({row['x1']['rows']} rows) | "
