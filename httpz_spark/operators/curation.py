@@ -111,7 +111,8 @@ def seq_pack(df: DataFrame, text_col: str = "text",
            else token_count(F.col(text_col)))
     toks = df.select(
         F.col(key_col),
-        (F.col(key_col) % n_shards).alias("shard"),
+        # pmod: negative keys still land in [0, n_shards)
+        F.pmod(F.col(key_col), F.lit(n_shards)).alias("shard"),
         tok.alias("n_tok"),
     )
     w = Window.partitionBy("shard").orderBy(key_col)

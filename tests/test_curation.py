@@ -145,6 +145,15 @@ def test_seq_pack_precomputed_tokens_col(spark):
     assert sorted(map(key, via_text)) == sorted(map(key, via_col))
 
 
+def test_seq_pack_negative_keys_shard_nonnegative(spark):
+    df = spark.createDataFrame(
+        [(-3, "a b"), (-2, "c d"), (5, "e f")], "doc_id long, text string"
+    )
+    rows = seq_pack(df, ctx=100, n_shards=4).collect()
+    assert all(0 <= r["shard"] < 4 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 3
+
+
 def test_seq_pack_rejects_bad_args(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
