@@ -471,11 +471,13 @@ def q_pii_scrub(spark, sf_dir):
             F.col("text"), F.lit(" contact user"), k.cast("string"),
             F.lit("@example.com or 555-123-4567 from 10."),
             (k % 200).cast("string"), F.lit(".0."),
-            (k % 250).cast("string")),
+            (k % 250).cast("string"),
+            F.lit(" ssn 219-09-9999 card 4012-8888-8888-1881")),
     ).otherwise(F.col("text"))
     base = d.select("doc_id", injected.alias("text"))
     return pii_scrub(base).select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "n_cc",
+        "scrubbed")
 
 
 def q_domain_mix(spark, sf_dir):
@@ -1620,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
                        || '@example.com or 555-123-4567 from 10.'
                        || CAST(doc_id % 200 AS VARCHAR) || '.0.'
                        || CAST(doc_id % 250 AS VARCHAR)
+                       || ' ssn 219-09-9999 card 4012-8888-8888-1881'
                      ELSE text END AS text
               FROM documents)
             SELECT doc_id,
@@ -1629,11 +1632,18 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
                    len(regexp_extract_all(text,
                        '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
-                   regexp_replace(regexp_replace(regexp_replace(text,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS n_cc,
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g'),
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CC>', 'g') AS scrubbed
             FROM base
         """,
         "domain_mix": """

@@ -38,12 +38,15 @@ from httpz_spark.operators.textstats import token_count
 
 # (name, java+RE2-common regex, replacement token).  Order matters only
 # if patterns can overlap; these are constructed disjoint (email needs
-# '@', ipv4 is dotted-only, phone is dashed-only) so the sequential
-# scrub is order-independent.
+# '@', ipv4 is dotted-only, the dashed shapes have distinct group
+# widths: phone 3-3-4, ssn 3-2-4, card 4-4-4-4 — no digit run matches
+# two of them) so the sequential scrub is order-independent.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CC>"),
 )
 
 

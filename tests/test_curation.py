@@ -42,6 +42,16 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert out[4]["scrubbed"] == "<EMAIL> from <IP> dial <PHONE>"
 
 
+def test_pii_scrub_ssn_and_card(spark):
+    df = spark.createDataFrame(
+        [(0, "ssn 219-09-9999 card 4012-8888-8888-1881 tel 555-123-4567")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert (r["n_ssn"], r["n_cc"], r["n_phone"]) == (1, 1, 1)
+    assert r["scrubbed"] == "ssn <SSN> card <CC> tel <PHONE>"
+
+
 def test_pii_scrub_phone_ip_disjoint(spark):
     # dashed phones never collide with dotted IPs and vice versa; a
     # version-ish dotted triple is not an IP (needs 4 octets)
