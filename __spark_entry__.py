@@ -571,6 +571,17 @@ def _c4_docs(spark, sf_dir):
     return d.select("doc_id", text.alias("text"))
 
 
+def q_corpus_report(spark, sf_dir):
+    # per-language curation observability report — REAL SQL oracle
+    # (lang_id argmax + the text_stats quality formula + integer-micro
+    # quality sums so aggregation order can't drift the hash).
+    from httpz_spark.operators.curation import corpus_report
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_report(d).select(
+        "lang_pred", "n_docs", "n_tokens", "sum_quality_micro", "n_keep")
+
+
 def q_c4_line_filters(spark, sf_dir):
     # C4 line filters + page gates (Raffel et al. 2019 §2.2) over the
     # derived C4-shaped corpus — REAL SQL oracle (list_transform /
@@ -1179,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
+        "corpus_report": _shipped(q_corpus_report),
         "cosine_topk": _shipped(q_cosine_topk),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
@@ -1705,6 +1717,48 @@ def oracle_sql() -> dict[str, str]:
                     AND cap_tokens BETWEEN 2 AND 77
                     AND alpha_ratio >= 0.5) AS keep
             FROM sig
+        """,
+        # per-language curation report: lang argmax + the text_stats
+        # quality formula, quality summed in integer micro-units
+        "corpus_report": f"""
+            WITH scored AS (
+              SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                          WHEN en = greatest(en, de, es, fr) THEN 'en'
+                          WHEN de = greatest(en, de, es, fr) THEN 'de'
+                          WHEN es = greatest(en, de, es, fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred,
+                     CASE WHEN {_NORM_DUCK} = '' THEN 0
+                          ELSE len(string_split({_NORM_DUCK}, ' ')) END AS n_tok,
+                     round(
+                       (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                             WHEN length(text) > 2000 THEN 0.7
+                             ELSE length(text) / 100.0 END) * 0.4
+                     + (CASE WHEN p2 <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p2 - 0.1) * 5.0) END) * 0.3
+                     + least(1.0, s2 * 10.0) * 0.3, 6) AS quality
+              FROM (
+                SELECT *,
+                  (length(text) - length(regexp_replace(text,
+                      '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) AS p2,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('the','and','of','to','is'))) * 1.0
+                      / greatest(len(string_split({_NORM_DUCK}, ' ')), 1) AS s2,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('the','and','of','to','is'))) AS en,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('der','die','und','ist','das'))) AS de,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('el','la','los','es','una'))) AS es,
+                  len(list_filter(string_split({_NORM_DUCK_LOWER}, ' '),
+                      x -> x IN ('le','la','les','est','une'))) AS fr
+                FROM documents
+              ))
+            SELECT lang_pred, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+                   sum(CAST(round(quality * 1000000) AS BIGINT))
+                     AS sum_quality_micro,
+                   sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+            FROM scored GROUP BY lang_pred
         """,
         # C4 rules over the derived corpus (shared CTE constants above)
         "c4_line_filters": f"""

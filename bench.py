@@ -332,7 +332,7 @@ def table_queries(spark) -> tuple:
         # per-shard cumsum / map-only gate battery), the C4 battery, and
         # the end-to-end curated capstone
         "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
-        "c4_clean", "training_shard_curated",
+        "c4_clean", "training_shard_curated", "corpus_report",
     ]
     qs = E.queries()
     times, loads = {}, {}

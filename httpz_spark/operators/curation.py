@@ -131,6 +131,40 @@ def seq_pack(df: DataFrame, text_col: str = "text",
                  F.max(key_col).alias("last_doc")))
 
 
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  keep_quality: float = 0.5) -> DataFrame:
+    """One-pass corpus curation report: per predicted language, doc and
+    token counts, summed quality, and the keep count at the quality
+    gate — the observability summary a curation pipeline emits per
+    shard.  One shuffle (groupBy on the language key), map-side
+    combined.
+
+    Quality is aggregated in integer micro-units
+    (``round(quality * 1e6)`` per row) so the sum is order-independent
+    — a float mean would drift with partition summation order and
+    break bit-reproducibility across runs/engines.
+    """
+    from httpz_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    q = quality_score(t)
+    scored = df.select(
+        lang_id(t).alias("lang_pred"),
+        token_count(t).alias("n_tok"),
+        F.round(q * 1_000_000, 0).cast("long").alias("q_micro"),
+        (q >= F.lit(float(keep_quality))).cast("int").alias("keep"),
+    )
+    return (scored.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum("q_micro").alias("sum_quality_micro"),
+                 F.sum("keep").cast("long").alias("n_keep")))
+
+
 def image_pair_filter(imgs: DataFrame, *, min_side: int = 200,
                       max_aspect: float = 3.0,
                       fmts: tuple[str, ...] = ("jpeg", "png", "webp"),

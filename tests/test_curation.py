@@ -172,6 +172,25 @@ def test_seq_pack_rejects_bad_args(spark):
         seq_pack(df, n_shards=0)
 
 
+# ---------------------------------------------------------- corpus_report
+
+def test_corpus_report_aggregates(spark):
+    from httpz_spark.operators.curation import corpus_report
+
+    en = ("the cat and the dog went to the park and it is nice. " * 4).strip()
+    df = spark.createDataFrame(
+        [(0, en), (1, en), (2, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["lang_pred"]: r for r in corpus_report(df).collect()}
+    assert out["en"]["n_docs"] == 2
+    assert out["und"]["n_docs"] == 1
+    # 13 whitespace tokens per repetition * 4 reps = 52 per en doc
+    assert out["en"]["n_tokens"] == 104
+    assert out["und"]["n_keep"] == 0          # short, no stopwords
+    assert out["en"]["sum_quality_micro"] > 0
+
+
 # ------------------------------------------------------ image_pair_filter
 
 def _pairs(spark, rows):
