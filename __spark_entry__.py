@@ -1816,8 +1816,8 @@ def oracle_sql() -> dict[str, str]:
                      ON se.doc_id = dr.doc_id AND se.sent_idx = dr.sent_idx)
             SELECT doc_id,
                    string_agg(sent, '. ' ORDER BY sent_idx) AS dedup_text,
-                   any_value(n_sent) AS n_sentences,
-                   CAST(any_value(n_sent) - count(*) AS INT) AS n_sent_dropped
+                   max(n_sent) AS n_sentences,
+                   CAST(max(n_sent) - count(*) AS INT) AS n_sent_dropped
             FROM kp GROUP BY doc_id
         """,
         "lang_id": f"""

@@ -128,8 +128,10 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
                             F.struct("sent_idx", "sent"))),
                         lambda s: s.sent),
                     ". ").alias("dedup_text"),
-                F.first("n_sent").alias("n_sentences"),
-                (F.first("n_sent") - F.count(F.lit(1)))
+                # n_sent is constant per doc; max() (not first()) keeps
+                # the aggregate visibly deterministic
+                F.max("n_sent").alias("n_sentences"),
+                (F.max("n_sent") - F.count(F.lit(1)))
                 .cast("int").alias("n_sent_dropped"),
             ))
 
