@@ -85,7 +85,12 @@ class EngineConfig:
                                      # operators/politeness.py docstring)
     bloom_bits_per_key: int = 10     # per-partition bloom sizing (~1% FP)
     bloom_capacity_per_part: int = 1_000_000  # sizing assumption per pid
-    use_bloom: bool = True           # maintain the persisted bloom index
+    use_bloom: bool = True           # maintain the persisted seen-filter index
+    seen_filter: str = "bloom"       # which index structure: "bloom" (10
+                                     # bits/key, idempotent OR re-runs) or
+                                     # "cuckoo" (~19 bits/key, supports
+                                     # DELETE -> O(stale) recrawl
+                                     # invalidation vs O(seen) bloom rebuild)
     bloom_min_seen: int = 5_000_000  # probe through the bloom only once the
                                      # seen table exceeds this (measured: the
                                      # plain JVM anti-join wins below ~10^7

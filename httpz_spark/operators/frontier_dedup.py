@@ -1,4 +1,4 @@
-"""URL-seen dedup: persisted per-partition bloom pre-filter + exact anti-join.
+"""URL-seen dedup: persisted per-partition bloom/cuckoo pre-filter + exact anti-join.
 
 Scale shape (the 10^10-frontier design):
 
@@ -21,6 +21,12 @@ Measured note (BENCH): below ~10^7 seen keys the plain JVM anti-join wins
 outright — the bloom path's value is avoiding seen-table scans when seen
 is orders of magnitude larger than the per-wave candidate set.  Engine
 callers pick via ``EngineConfig.bloom_min_seen``.
+
+Two interchangeable filter structures (``EngineConfig.seen_filter``):
+**BloomIndex** (smaller: 10 bits/key vs the cuckoo's ~19, idempotent OR
+updates) and **CuckooIndex** (supports per-key DELETE — recrawl
+invalidation of stale URLs is O(stale) instead of an O(seen) full
+rebuild; see the cuckoo section below).
 """
 
 from __future__ import annotations
@@ -195,19 +201,304 @@ class BloomIndex:
         return parted.mapInArrow(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Cuckoo filter (the north rule's other seen-set structure): same probe
+# contract as the bloom — no false negatives for inserted keys — PLUS
+# O(1) per-key DELETE, which the bloom cannot do.  The crawl use case is
+# recrawl invalidation: when sitemap lastmod marks 10^5 of 10^10 seen URLs
+# stale, the bloom path must rebuild the whole filter from the seen table
+# (O(seen) scan); the cuckoo path deletes exactly the stale keys (O(stale)).
+#
+# Design (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+# CoNEXT'14): power-of-two buckets of 4 slots of 16-bit fingerprints
+# (fp=0 reserved for empty -> FP rate ~= 2*4/2^16 ~= 0.012%); partial-key
+# displacement i2 = i1 XOR (H(fp) & mask), an involution, so any stored
+# fingerprint can recover its alternate bucket without the original key.
+#
+# MULTISET semantics, deliberately: re-inserting a key stores another copy
+# (up to 8) instead of being skipped.  Idempotence-by-skip would break
+# delete-exactness — two distinct keys sharing (fp, bucket-pair) would
+# alias to one copy and deleting one would false-negative the other; with
+# copies, a resume re-run costs duplicate fingerprints (space), never
+# correctness.  Invariant: delete at most what was inserted.
+# ---------------------------------------------------------------------------
+
+_CUCKOO_SLOTS = 4
+_ALT_MIX = 0x5BD1E995  # MurmurHash2 constant, mixes the 16-bit fp over buckets
+
+
+def _cuckoo_geometry(capacity: int, load: float = 0.84) -> int:
+    """Bucket count: smallest power of two holding ``capacity`` keys at the
+    target load factor (0.84 sustains near-certain insert at 4 slots)."""
+    nb = 1024
+    while nb * _CUCKOO_SLOTS * load < capacity:
+        nb <<= 1
+    return nb
+
+
+def _cuckoo_hashes(keys: np.ndarray, nbuckets: int):
+    """(fp uint16 nonzero, i1 int64, i2 int64) for already-murmur'd keys."""
+    u = keys.astype(np.uint64)
+    h = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    fp = (h >> np.uint64(48)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    mask = np.uint64(nbuckets - 1)
+    i1 = (h & mask).astype(np.int64)
+    i2 = _cuckoo_alt(i1, fp, nbuckets)
+    return fp, i1, i2
+
+
+def _cuckoo_alt(i, fp, nbuckets: int):
+    """Alternate bucket — involution: alt(alt(i, fp), fp) == i."""
+    mask = np.uint64(nbuckets - 1)
+    alt = (
+        np.asarray(i).astype(np.uint64)
+        ^ (np.asarray(fp).astype(np.uint64) * np.uint64(_ALT_MIX) & mask)
+    )
+    return alt.astype(np.int64)
+
+
+def cuckoo_insert(table: np.ndarray, keys: np.ndarray, seed: int = 0x5EED,
+                  max_kicks: int = 500) -> int:
+    """Insert every key (multiset).  Returns the number that could NOT be
+    placed — any nonzero return means the table is saturated and the caller
+    MUST stop trusting negative probes (see CuckooIndex saturation flag).
+
+    Bulk-vectorized: one pass per choice bucket places each key into a free
+    slot (within-batch same-bucket collisions serialized by rank), then a
+    seeded kick loop relocates the residue."""
+    nb = table.shape[0]
+    fp, i1, i2 = _cuckoo_hashes(keys, nb)
+    todo = np.ones(len(keys), dtype=bool)
+    for choice in (i1, i2):
+        idx = np.flatnonzero(todo)
+        if idx.size == 0:
+            return 0
+        bb = choice[idx]
+        order = np.argsort(bb, kind="stable")
+        sb = bb[order]
+        grp = np.empty(len(sb), dtype=bool)
+        grp[0] = True
+        grp[1:] = sb[1:] != sb[:-1]
+        starts = np.flatnonzero(grp)
+        runs = np.diff(np.append(starts, len(sb)))
+        rank = np.arange(len(sb)) - np.repeat(starts, runs)
+        rows = table[sb]
+        occ = (rows != 0).sum(axis=1)
+        # free slots first (stable argsort of the occupied mask) so holes
+        # left by deletes are refilled, not just trailing slots
+        free_first = np.argsort(rows != 0, axis=1, kind="stable")
+        fits = rank < (_CUCKOO_SLOTS - occ)
+        slot = free_first[np.arange(len(sb)), np.minimum(rank, _CUCKOO_SLOTS - 1)]
+        placed = idx[order][fits]
+        table[sb[fits], slot[fits]] = fp[placed]
+        todo[placed] = False
+    failed = 0
+    rng = np.random.RandomState(seed)
+    pending = np.flatnonzero(todo)
+    for done, j in enumerate(pending):
+        if failed >= 8:
+            # saturation is already certain (the flag is binary) — don't
+            # burn max_kicks on every remaining key of a mis-sized table
+            failed += len(pending) - done
+            break
+        f = int(fp[j])
+        i = int(i1[j])
+        for _ in range(max_kicks):
+            row = table[i]
+            free = np.flatnonzero(row == 0)
+            if free.size:
+                table[i, free[0]] = f
+                break
+            s = int(rng.randint(_CUCKOO_SLOTS))
+            f, table[i, s] = int(row[s]), f
+            i = int(_cuckoo_alt(np.int64(i), np.uint16(f), nb))
+        else:
+            failed += 1
+    return failed
+
+
+def cuckoo_contains(table: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """True = maybe-present (FP ~0.012%); False = DEFINITELY absent."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    fp, i1, i2 = _cuckoo_hashes(keys, table.shape[0])
+    f = fp[:, None]
+    return (table[i1] == f).any(axis=1) | (table[i2] == f).any(axis=1)
+
+
+def cuckoo_delete(table: np.ndarray, keys: np.ndarray) -> int:
+    """Remove ONE stored copy per key; returns how many keys had no copy.
+    Only ever delete keys that were inserted (standard cuckoo contract) —
+    deleting a never-inserted key can evict a colliding key's fingerprint."""
+    nb = table.shape[0]
+    fp, i1, i2 = _cuckoo_hashes(keys, nb)
+    missing = 0
+    for j in range(len(keys)):
+        f = fp[j]
+        for i in (i1[j], i2[j]):
+            hit = np.flatnonzero(table[i] == f)
+            if hit.size:
+                table[i, hit[0]] = 0
+                break
+        else:
+            missing += 1
+    return missing
+
+
+class CuckooIndex:
+    """Persisted per-partition cuckoo filters over seen url_hash keys.
+
+    Same layout/probe contract as BloomIndex (``<root>/meta.json`` +
+    ``pid=<n>.npz`` atomic replace; missing/corrupt file or a saturated
+    partition degrades that pid to maybe-seen=True, i.e. the exact
+    anti-join recheck — correctness never depends on the filter), plus
+    ``delete`` for O(stale) recrawl invalidation."""
+
+    def __init__(self, root: str, partitions: int, capacity_per_part: int):
+        self.root = root
+        self.partitions = partitions
+        self.nbuckets = _cuckoo_geometry(capacity_per_part)
+
+    @classmethod
+    def open_or_create(cls, root: str, partitions: int = 32,
+                       capacity_per_part: int = 1_000_000) -> "CuckooIndex":
+        meta_path = os.path.join(root, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            idx = cls(root, meta["partitions"], 1)
+            idx.nbuckets = meta["nbuckets"]
+            return idx
+        os.makedirs(root, exist_ok=True)
+        idx = cls(root, partitions, capacity_per_part)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"kind": "cuckoo", "partitions": partitions,
+                       "nbuckets": idx.nbuckets, "slots": _CUCKOO_SLOTS}, f)
+        os.replace(meta_path + ".tmp", meta_path)
+        return idx
+
+    def _path(self, pid: int) -> str:
+        return os.path.join(self.root, f"pid={pid}.npz")
+
+    @staticmethod
+    def _load_file(path: str, nbuckets: int):
+        """(table, saturated) — fresh empty table when absent/corrupt is
+        WRONG for probing (false negatives), so probe-side absence is
+        handled by the caller as degrade-to-exact; this loader is for the
+        mutate paths, where starting empty is correct."""
+        try:
+            with np.load(path) as z:
+                return z["table"], bool(z["saturated"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return np.zeros((nbuckets, _CUCKOO_SLOTS), dtype=np.uint16), False
+
+    @staticmethod
+    def _store_file(path: str, table: np.ndarray, saturated: bool) -> None:
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, table=table, saturated=np.bool_(saturated))
+        # np.savez appends .npz to a name without it
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+    def _mutate(self, keys: DataFrame, key_col: str, op: str) -> None:
+        """One Spark job grouped on pid; each group rewrites one file."""
+        nb, P = self.nbuckets, self.partitions
+        path_of, load, store = self._path, self._load_file, self._store_file
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"pid": pd.Series([], dtype="int64"),
+                                     "n_fail": pd.Series([], dtype="int64")})
+            pid = int(pdf["_pid"].iloc[0])
+            table, saturated = load(path_of(pid), nb)
+            ks = pdf[key_col].to_numpy(dtype=np.int64)
+            if op == "insert":
+                failed = cuckoo_insert(table, ks, seed=0x5EED ^ pid)
+                saturated = saturated or failed > 0
+            else:
+                failed = cuckoo_delete(table, ks)
+            store(path_of(pid), table, saturated)
+            return pd.DataFrame({"pid": [pid], "n_fail": [failed]})
+
+        (
+            keys.select(key_col)
+            .withColumn("_pid", F.pmod(F.col(key_col), F.lit(P)))
+            .groupby("_pid")
+            .applyInPandas(run, schema="pid long, n_fail long")
+            .count()
+        )
+
+    def update(self, new_keys: DataFrame, key_col: str = "url_hash") -> None:
+        """Insert this wave's newly seen keys.  NOT idempotent like the
+        bloom OR — a re-run wave stores duplicate copies (bounded space
+        cost, never a correctness cost; see module multiset note)."""
+        self._mutate(new_keys, key_col, "insert")
+
+    def delete(self, stale_keys: DataFrame, key_col: str = "url_hash") -> None:
+        """Remove stale keys (recrawl invalidation) — O(stale), no rebuild."""
+        self._mutate(stale_keys, key_col, "delete")
+
+    def probe(self, candidates: DataFrame, key_col: str = "url_hash") -> DataFrame:
+        """Adds ``maybe_seen boolean``; same mapInArrow stage shape as
+        BloomIndex.probe (candidate-side-only shuffle, key column read as a
+        numpy view, pass-through columns never boxed)."""
+        import pyarrow as pa
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        P, nb = self.partitions, self.nbuckets
+        path_of = self._path
+        out_schema = StructType(
+            list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+
+        def run(batches):
+            cache: dict[int, np.ndarray | None] = {}
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                keys = rb.column(rb.schema.get_field_index(key_col)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                pids = np.mod(keys, P)
+                mask = np.zeros(rb.num_rows, dtype=bool)
+                for pid in np.unique(pids):
+                    if pid not in cache:
+                        try:
+                            with np.load(path_of(int(pid))) as z:
+                                cache[int(pid)] = (
+                                    None if bool(z["saturated"]) else z["table"]
+                                )
+                        except (FileNotFoundError, ValueError, KeyError):
+                            cache[int(pid)] = None
+                    table = cache[int(pid)]
+                    sel = pids == pid
+                    if table is None:
+                        mask[sel] = True  # absent/saturated -> exact recheck
+                    else:
+                        mask[sel] = cuckoo_contains(table, keys[sel])
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) + [pa.array(mask)],
+                    names=list(rb.schema.names) + ["maybe_seen"],
+                )
+
+        parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
+        return parted.mapInArrow(run, schema=out_schema)
+
+
 def dedup_unseen(
     candidates: DataFrame,
     seen: DataFrame | None,
     partitions: int = 32,
     bits_per_key: int = 10,
     key_col: str = "url_hash",
-    bloom: BloomIndex | None = None,
+    bloom: "BloomIndex | CuckooIndex | None" = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen`` — exact semantics.
 
-    Without a BloomIndex this is the plain JVM ``left_anti`` (fastest below
-    ~10^7 seen keys, measured); with one, bloom-absent rows bypass the join
-    and only maybe-seen rows are re-checked exactly."""
+    Without an index this is the plain JVM ``left_anti`` (fastest below
+    ~10^7 seen keys, measured); with one (BloomIndex or CuckooIndex — same
+    probe contract), index-absent rows bypass the join and only maybe-seen
+    rows are re-checked exactly."""
     if seen is None:
         return candidates
     seen_keys = seen.select(key_col)

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from httpz_spark.config import EngineConfig, ScanConfig
 from httpz_spark.functions import urls as U
 from httpz_spark.operators.fetch import fetch_output_schema, make_fetch_stage
-from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
+from httpz_spark.operators.frontier_dedup import (
+    BloomIndex,
+    CuckooIndex,
+    dedup_unseen,
+)
+from httpz_spark.storage import release_local_checkpoint
 from httpz_spark.operators.traps import frontier_trap_split, url_path_template
 from httpz_spark.operators.politeness import (
     aimd_host_budgets,
@@ -164,6 +169,23 @@ class CrawlEngine:
         frontier = urls_to_frontier(seed_urls, url_col, depth=0, wave_id=0)
         frontier = frontier.dropDuplicates(["url_hash"])
         self.store.write("frontier", frontier)
+
+    def add_seeds(self, seed_urls: DataFrame, url_col: str = "raw") -> None:
+        """MERGE new seeds into a live frontier (recrawl re-seeding: feed
+        recrawl_candidates' new/stale rows here after invalidate_seen).
+        Unlike init_frontier this works on existing state; already-queued
+        URLs dedup away here, already-SEEN ones at the wave's seen gate."""
+        fresh = urls_to_frontier(seed_urls, url_col, depth=0, wave_id=0)
+        cur = self.store.read("frontier")
+        if cur is None:
+            self.store.write("frontier", fresh.dropDuplicates(["url_hash"]))
+            return
+        merged = (
+            cur.select(*FRONTIER_COLS)
+            .unionByName(fresh.select(*FRONTIER_COLS))
+            .dropDuplicates(["url_hash"])
+        )
+        self.store.write("frontier", merged)
 
     def committed_waves(self) -> set:
         lineage = self.store.read("lineage")
@@ -336,18 +358,59 @@ class CrawlEngine:
         }
 
     # -- stages -------------------------------------------------------------------
-    def _bloom(self) -> BloomIndex | None:
+    def _bloom(self) -> "BloomIndex | CuckooIndex | None":
+        """The persisted seen-filter index (name kept from when bloom was
+        the only structure; ``EngineConfig.seen_filter`` picks bloom or
+        cuckoo — identical probe contract, see frontier_dedup)."""
         ecfg = self.engine_cfg
         if not ecfg.use_bloom:
             return None
         import os
 
+        if ecfg.seen_filter == "cuckoo":
+            return CuckooIndex.open_or_create(
+                os.path.join(self.store.root, "cuckoo"),
+                partitions=ecfg.partitions,
+                capacity_per_part=ecfg.bloom_capacity_per_part,
+            )
         return BloomIndex.open_or_create(
             os.path.join(self.store.root, "bloom"),
             partitions=ecfg.partitions,
             capacity_per_part=ecfg.bloom_capacity_per_part,
             bits_per_key=ecfg.bloom_bits_per_key,
         )
+
+    def invalidate_seen(self, stale_keys: DataFrame) -> None:
+        """Recrawl invalidation: remove stale URLs from the seen state so
+        the frontier re-admits them (compose with recrawl_candidates'
+        ``stale`` rows).  The seen table takes an O(stale) merge-on-read
+        tombstone delta either way; the filter index diverges — cuckoo
+        deletes exactly the stale keys (O(stale)), bloom cannot delete and
+        must REBUILD from the surviving seen table (O(seen) scan, the
+        documented cost of picking bloom on a recrawling deployment).
+
+        ``stale_keys``: any frame with a ``url_hash`` column."""
+        keys = stale_keys.select("url_hash").distinct()
+        # persist: the keys drive the table tombstone AND the filter
+        # mutation — two actions over one (possibly non-deterministic
+        # upstream) frame, same discipline as the dedup eager barriers
+        keys = keys.localCheckpoint(eager=True)
+        try:
+            self.store.merge_delete("seen", keys, key="url_hash")
+            idx = self._bloom()
+            if isinstance(idx, CuckooIndex):
+                idx.delete(keys)
+            elif idx is not None:
+                import os
+                import shutil
+
+                shutil.rmtree(os.path.join(self.store.root, "bloom"),
+                              ignore_errors=True)
+                surviving = self.store.read("seen")
+                if surviving is not None:
+                    self._bloom().update(surviving.select("url_hash"))
+        finally:
+            release_local_checkpoint(keys)
 
     def _seen_size(self) -> int:
         """Seen-table cardinality from lineage counters (no table scan)."""

@@ -143,7 +143,18 @@ class StateStore:
                 .agg(F.max_by(F.struct(*others), F.col("_seq")).alias("_r"))
                 .select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
             )
-        return df.drop("_seq")
+        return self._drop_tombstones(df).drop("_seq")
+
+    @staticmethod
+    def _drop_tombstones(df: DataFrame) -> DataFrame:
+        """merge_delete writes ``_tomb=true`` rows; after newest-wins
+        resolution a key whose latest delta is a tombstone is dropped here
+        (merge-on-read delete, the Iceberg MERGE-DELETE analogue).  Deltas
+        written before any delete have no ``_tomb`` column — mergeSchema
+        surfaces it as NULL, coalesced to live."""
+        if "_tomb" in df.columns:
+            df = df.filter(~F.coalesce(F.col("_tomb"), F.lit(False))).drop("_tomb")
+        return df
 
     def _write_delta(self, name: str, df: DataFrame, version: int, tag: str) -> str:
         d = self._delta_dir(name, version, tag)
@@ -186,11 +197,21 @@ class StateStore:
             cur.withColumn("_s2", F.lit(0)), allowMissingColumns=True
         )
         others = [c for c in df.columns if c not in (key, "_s2")]
-        return (
+        return self._drop_tombstones(
             df.groupBy(key)
             .agg(F.max_by(F.struct(*others), F.col("_s2")).alias("_r"))
             .select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
         )
+
+    def merge_delete(self, name: str, keys: DataFrame, key: str) -> int:
+        """MERGE ... WHEN MATCHED THEN DELETE analogue: writes ONLY the
+        (distinct) keys as a tombstone delta — merge-on-read, so a 10^10-row
+        seen table is never rewritten to drop 10^5 stale URLs; newest-wins
+        resolution hides tombstoned keys at read time and the next
+        compaction folds them away.  Re-upserting a key after deletion
+        resurrects it (its delta is newer than the tombstone's)."""
+        tomb = keys.select(key).distinct().withColumn("_tomb", F.lit(True))
+        return self.merge_upsert(name, tomb, key)
 
     def append(self, name: str, df: DataFrame) -> int:
         """Pure append (no merge key — lineage-style tables)."""
