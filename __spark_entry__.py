@@ -150,6 +150,72 @@ def q_seen_antijoin(spark, sf_dir):
     )
 
 
+def q_seen_antijoin_cuckoo(spark, sf_dir):
+    # the same dedup semantics as seen_antijoin, through the persisted
+    # CUCKOO filter path (per-pid probe prefilter + exact recheck): the
+    # exactness invariant — filter output == plain anti-join — is what the
+    # shared oracle pins
+    import shutil
+    import tempfile
+
+    from httpz_spark.operators.frontier_dedup import CuckooIndex, dedup_unseen
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="httpz_entryq_ck_")
+    out_dir = tempfile.mkdtemp(prefix="httpz_entryq_ckout_")
+    try:
+        seen = li.select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+        idx = CuckooIndex.open_or_create(root, partitions=8,
+                                         capacity_per_part=400_000)
+        idx.update(seen, key_col="o_orderkey")
+        res = dedup_unseen(o, seen, key_col="o_orderkey", bloom=idx).select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("total")
+        )
+        # stage: the probe lazily reads the index files we delete below
+        res.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_recrawl_invalidate(spark, sf_dir):
+    # recrawl invalidation end-to-end: seen state = StateStore table +
+    # cuckoo index; deleting the stale keys from BOTH (tombstone MERGE
+    # DELETE + O(stale) filter delete) re-admits exactly those keys at the
+    # next wave's dedup gate
+    import shutil
+    import tempfile
+
+    from httpz_spark.operators.frontier_dedup import CuckooIndex, dedup_unseen
+    from httpz_spark.plans.statestore import StateStore
+
+    o = _t(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="httpz_entryq_inv_")
+    out_dir = tempfile.mkdtemp(prefix="httpz_entryq_invout_")
+    try:
+        keys = o.select(F.col("o_orderkey").alias("url_hash"), "o_orderstatus")
+        st = StateStore(spark, state, compact_every=4)
+        st.merge_upsert("seen", keys, key="url_hash")
+        idx = CuckooIndex.open_or_create(
+            os.path.join(state, "cuckoo"), partitions=8,
+            capacity_per_part=400_000,
+        )
+        idx.update(keys)
+        stale = keys.filter(F.col("o_orderstatus") == "F").select("url_hash")
+        st.merge_delete("seen", stale, key="url_hash")
+        idx.delete(stale)
+        readmitted = dedup_unseen(
+            keys, st.read("seen").select("url_hash"), bloom=idx
+        )
+        readmitted.select("url_hash", "o_orderstatus").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("url_hash")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_robots_broadcast_join(spark, sf_dir):
     # robots-table shape: two broadcast dim joins + rollup
     c = _t(spark, sf_dir, "customer")
@@ -1166,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_distinct_agg": _shipped(q_sorted_distinct_agg),
         "politeness_topk": _shipped(q_politeness_topk),
         "seen_antijoin": _shipped(q_seen_antijoin),
+        "seen_antijoin_cuckoo": _shipped(q_seen_antijoin_cuckoo),
+        "recrawl_invalidate": _shipped(q_recrawl_invalidate),
         "robots_broadcast_join": _shipped(q_robots_broadcast_join),
         "lineage_agg": _shipped(q_lineage_agg),
         "hash_partition_dist": _shipped(q_hash_partition_dist),
@@ -1546,6 +1614,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, round(o_totalprice, 2) AS total
             FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "seen_antijoin_cuckoo": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "recrawl_invalidate": """
+            SELECT o_orderkey AS url_hash, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'F'
         """,
         "robots_broadcast_join": """
             SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
