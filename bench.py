@@ -121,7 +121,11 @@ def crawl_workload(spark, cpus: int) -> dict:
     import shutil
     import tempfile
 
-    from httpz_spark.operators.frontier_dedup import BloomIndex, dedup_unseen
+    from httpz_spark.operators.frontier_dedup import (
+        BloomIndex,
+        CuckooIndex,
+        dedup_unseen,
+    )
 
     P = max(cpus, 16)
     cand = spark.range(0, DEDUP_ROWS, 1, P).select(
@@ -132,6 +136,7 @@ def crawl_workload(spark, cpus: int) -> dict:
     ).persist()
     seen.count()
     bloom_root = tempfile.mkdtemp(prefix="httpz_bench_bloom_")
+    cuckoo_root = tempfile.mkdtemp(prefix="httpz_bench_cuckoo_")
     try:
         idx = BloomIndex.open_or_create(
             bloom_root, partitions=P, capacity_per_part=DEDUP_ROWS // P + 1
@@ -146,8 +151,18 @@ def crawl_workload(spark, cpus: int) -> dict:
         t0 = time.time()
         dedup_unseen(cand, seen, partitions=P).count()
         out["dedup_plain_sec"] = time.time() - t0
+        # cuckoo path (delete-capable seen structure), same prebuilt-index
+        # protocol as the bloom row
+        cidx = CuckooIndex.open_or_create(
+            cuckoo_root, partitions=P, capacity_per_part=DEDUP_ROWS // P + 1
+        )
+        cidx.update(seen)
+        t0 = time.time()
+        dedup_unseen(cand, seen, partitions=P, bloom=cidx).count()
+        out["dedup_cuckoo_sec"] = time.time() - t0
     finally:
         shutil.rmtree(bloom_root, ignore_errors=True)
+        shutil.rmtree(cuckoo_root, ignore_errors=True)
         seen.unpersist()
     seeds.unpersist()
     images.unpersist()
@@ -501,6 +516,7 @@ def run_probe(cpus: int, reps: int = 3) -> None:
         best["dedup_ops_per_sec"] = max(best["dedup_ops_per_sec"], out["dedup_ops_per_sec"])
         best["dedup_sec"] = min(best["dedup_sec"], out["dedup_sec"])
         best["dedup_plain_sec"] = min(best["dedup_plain_sec"], out["dedup_plain_sec"])
+        best["dedup_cuckoo_sec"] = min(best["dedup_cuckoo_sec"], out["dedup_cuckoo_sec"])
     best["cpus"] = cpus
     spark.stop()
     best["ceiling_urls_per_sec"] = _level_ceiling(cpus)
@@ -544,6 +560,7 @@ def run_scaling() -> None:
             "fetch": eff(4 * n, n, "urls_per_sec"),
             "dedup_plain": eff(4 * n, n, "dedup_plain_sec", invert=True),
             "dedup_bloom": eff(4 * n, n, "dedup_ops_per_sec"),
+            "dedup_cuckoo": eff(4 * n, n, "dedup_cuckoo_sec", invert=True),
         }
     util = {
         c: results[c]["urls_per_sec"] / results[c]["ceiling_urls_per_sec"]
@@ -577,8 +594,12 @@ def run_scaling() -> None:
         ("frontier-dedup ops/sec (plain JVM anti-join — engine default at this seen ratio)",
          None, None),
         ("frontier-dedup ops/sec (persisted-bloom path)", "dedup_ops_per_sec", False),
+        ("frontier-dedup ops/sec (persisted-cuckoo path — delete-capable)",
+         "dedup_cuckoo_sec", None),
     ):
-        if key is None:
+        if key == "dedup_cuckoo_sec":
+            vals = [DEDUP_ROWS / results[c]["dedup_cuckoo_sec"] for c in (4, 8, 16, 32)]
+        elif key is None:
             vals = [DEDUP_ROWS / results[c]["dedup_plain_sec"] for c in (4, 8, 16, 32)]
         else:
             vals = [results[c][key] for c in (4, 8, 16, 32)]
