@@ -348,6 +348,8 @@ def table_queries(spark) -> tuple:
         # the end-to-end curated capstone
         "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
         "c4_clean", "training_shard_curated", "corpus_report",
+        # round-6 session 5: cuckoo seen path + recrawl invalidation
+        "seen_antijoin_cuckoo", "recrawl_invalidate",
     ]
     qs = E.queries()
     times, loads = {}, {}
@@ -373,7 +375,9 @@ def run_default() -> None:
     l1 = _load1()
     queries["crawl_fetch_wave"] = round(crawl["fetch_wave_sec"], 3)
     queries["frontier_dedup"] = round(crawl["dedup_sec"], 3)
+    queries["frontier_dedup_cuckoo"] = round(crawl["dedup_cuckoo_sec"], 3)
     qloads["crawl_fetch_wave"] = qloads["frontier_dedup"] = [l0, l1]
+    qloads["frontier_dedup_cuckoo"] = [l0, l1]
     tq, tl = table_queries(spark)
     queries.update(tq)
     qloads.update(tl)

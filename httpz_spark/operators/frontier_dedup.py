@@ -498,7 +498,15 @@ def dedup_unseen(
     Without an index this is the plain JVM ``left_anti`` (fastest below
     ~10^7 seen keys, measured); with one (BloomIndex or CuckooIndex — same
     probe contract), index-absent rows bypass the join and only maybe-seen
-    rows are re-checked exactly."""
+    rows are re-checked exactly.
+
+    Plan shape: ONE anti-join whose condition is ``key match AND
+    maybe_seen`` — maybe_seen=False rows can never match, so they pass
+    through the same join (exact bypass semantics) without the
+    union-of-two-branches form, which evaluated the probe stage TWICE
+    (two full candidate scans + shuffles + Arrow probes; AQE does not
+    reuse the exchange across union branches — measured 3.48→2.67 s at 4M
+    rows on the bloom path, BENCH/BASELINE.md)."""
     if seen is None:
         return candidates
     seen_keys = seen.select(key_col)
@@ -506,7 +514,8 @@ def dedup_unseen(
         return candidates.join(seen_keys, key_col, "left_anti")
 
     probed = bloom.probe(candidates, key_col)
-    definitely_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    rechecked = maybe.join(seen_keys, key_col, "left_anti")
-    return definitely_unseen.unionByName(rechecked)
+    return probed.join(
+        seen_keys,
+        (probed[key_col] == seen_keys[key_col]) & probed["maybe_seen"],
+        "left_anti",
+    ).drop("maybe_seen")
