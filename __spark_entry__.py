@@ -216,6 +216,48 @@ def q_recrawl_invalidate(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_url_quality(spark, sf_dir):
+    # RefinedWeb-style URL filtering (curation.url_quality_signals) over a
+    # URL corpus derived deterministically from documents so every rule
+    # fires: blocklisted hosts (doc_id%40 in 0..3), IP-literal hosts
+    # (%23), soft word scores incl. the fractional co-occurrence rule
+    # (%29 tracker+popup = 1.0, %11 casino, %13 tracker alone = 0.5
+    # passes), over-length URLs (%17) and digit-heavy session-id URLs
+    # (%19); the oracle re-derives URLs and signals in ANSI SQL
+    from httpz_spark.operators.curation import url_quality_signals
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    first_word = F.split(F.col("text"), " ").getItem(0)
+    host = F.when(
+        doc % 23 == 0, F.concat(F.lit("10.0.0."), (doc % 200).cast("string"))
+    ).otherwise(F.concat(F.lit("h"), (doc % 40).cast("string"), F.lit(".example")))
+    word = (
+        F.when(doc % 29 == 0, F.lit("tracker&u=popup"))
+        .when(doc % 11 == 0, F.lit("casino"))
+        .when(doc % 13 == 0, F.lit("tracker"))
+        .otherwise(F.lit("page"))
+    )
+    tail = (
+        F.when(doc % 17 == 0, F.concat(F.lit("&pad="), F.repeat(F.lit("z"), 300)))
+        .when(doc % 19 == 0, F.concat(F.lit("&sid="), F.repeat(F.lit("9"), 120)))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), first_word, F.lit("/"),
+        doc.cast("string"), F.lit("?ref="), word, tail,
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [(f"h{i}.example",) for i in range(4)], "host string"
+    )
+    res = url_quality_signals(urls, blocked_hosts=blocked, max_len=255)
+    return res.select(
+        "doc_id", "url_host", "url_len", "url_digit_frac", "url_word_score",
+        "url_ip_host", "url_blocked", "url_keep",
+    ).orderBy("doc_id")
+
+
 def q_robots_broadcast_join(spark, sf_dir):
     # robots-table shape: two broadcast dim joins + rollup
     c = _t(spark, sf_dir, "customer")
@@ -1234,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": _shipped(q_seen_antijoin),
         "seen_antijoin_cuckoo": _shipped(q_seen_antijoin_cuckoo),
         "recrawl_invalidate": _shipped(q_recrawl_invalidate),
+        "url_quality": _shipped(q_url_quality),
         "robots_broadcast_join": _shipped(q_robots_broadcast_join),
         "lineage_agg": _shipped(q_lineage_agg),
         "hash_partition_dist": _shipped(q_hash_partition_dist),
@@ -1623,6 +1666,45 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_invalidate": """
             SELECT o_orderkey AS url_hash, o_orderstatus
             FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "url_quality": """
+            WITH urls AS (
+              SELECT doc_id,
+                'https://' ||
+                CASE WHEN doc_id % 23 = 0
+                     THEN '10.0.0.' || (doc_id % 200)
+                     ELSE 'h' || (doc_id % 40) || '.example' END
+                || '/' || split_part(text, ' ', 1) || '/' || doc_id || '?ref=' ||
+                CASE WHEN doc_id % 29 = 0 THEN 'tracker&u=popup'
+                     WHEN doc_id % 11 = 0 THEN 'casino'
+                     WHEN doc_id % 13 = 0 THEN 'tracker'
+                     ELSE 'page' END ||
+                CASE WHEN doc_id % 17 = 0 THEN '&pad=' || repeat('z', 300)
+                     WHEN doc_id % 19 = 0 THEN '&sid=' || repeat('9', 120)
+                     ELSE '' END AS url
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS url_host,
+                CAST(length(url) AS BIGINT) AS url_len,
+                round(CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(url), 1), 6) AS url_digit_frac,
+                round((CASE WHEN instr(lower(url), 'casino') > 0 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN instr(lower(url), 'clickbait') > 0 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN instr(lower(url), 'tracker') > 0 THEN 0.5 ELSE 0.0 END)
+                    + (CASE WHEN instr(lower(url), 'popup') > 0 THEN 0.5 ELSE 0.0 END), 6)
+                  AS url_word_score
+              FROM urls
+            )
+            SELECT doc_id, url_host, url_len, url_digit_frac, url_word_score,
+              regexp_matches(url_host, '^\\d{1,3}(\\.\\d{1,3}){3}$') AS url_ip_host,
+              url_host IN ('h0.example','h1.example','h2.example','h3.example') AS url_blocked,
+              (url_host NOT IN ('h0.example','h1.example','h2.example','h3.example')
+               AND NOT regexp_matches(url_host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+               AND url_len <= 255
+               AND url_digit_frac <= 0.5
+               AND url_word_score < 0.99) AS url_keep
+            FROM sig
         """,
         "robots_broadcast_join": """
             SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal

@@ -209,3 +209,89 @@ def image_pair_filter(imgs: DataFrame, *, min_side: int = 200,
         alpha_ok.alias("alpha_ok"),
         (size_ok & aspect_ok & fmt_ok & cap_ok & alpha_ok).alias("keep"),
     )
+
+
+# Placeholder soft-word list (RefinedWeb's production lists are a policy
+# input — curated adult/fraud vocabularies — not code; deployments pass
+# their own (word, weight) table).  Weights follow the paper's scheme:
+# 1.0 = match alone blocks, fractional = needs co-occurrence.
+URL_WORD_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("casino", 1.0),
+    ("clickbait", 1.0),
+    ("tracker", 0.5),
+    ("popup", 0.5),
+)
+
+
+def url_quality_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    blocked_hosts: DataFrame | None = None,
+    word_weights: tuple[tuple[str, float], ...] = URL_WORD_WEIGHTS,
+    max_len: int = 2048,
+    max_digit_frac: float = 0.5,
+    max_word_score: float = 0.99,
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): score
+    URLs BEFORE fetch/curation so a crawler never spends budget on
+    documents a URL rule would drop.
+
+    Adds one column per signal plus the composite ``url_keep``:
+
+    - url_host:       lowercased authority (native regexp extract)
+    - url_len:        character length; > max_len fails
+    - url_digit_frac: digit fraction of the URL; > max_digit_frac fails
+                      (session-id / tracking-sink URLs)
+    - url_ip_host:    dotted-quad host literal fails (no domain signal)
+    - url_word_score: sum of weights of soft-banned words appearing as
+                      substrings of the lowercased URL; >= max_word_score
+                      fails (weights per the paper: 1.0 blocks alone,
+                      fractional needs co-occurrence)
+    - url_blocked:    host present in the ``blocked_hosts`` frame
+                      (column ``host``; broadcast left join — the
+                      blocklist is a small dim table even at 10^6 rows)
+
+    Map-only apart from the optional broadcast join; every signal is a
+    codegen'd native expression in the Java-regex ∩ RE2 common subset,
+    replayable in ANSI SQL (the contract-query oracle does).
+    """
+    url = F.col(url_col)
+    lower = F.lower(url)
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    ulen = F.length(url)
+    digit_frac = (
+        (ulen - F.length(F.regexp_replace(url, r"[0-9]", ""))).cast("double")
+        / F.greatest(ulen, F.lit(1)).cast("double")
+    )
+    score: Column = F.lit(0.0)
+    for word, weight in word_weights:
+        score = score + F.when(
+            F.instr(lower, word.lower()) > 0, F.lit(float(weight))
+        ).otherwise(F.lit(0.0))
+    ip_host = F.col("url_host").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+    out = df.select(
+        "*",
+        host.alias("url_host"),
+        ulen.cast("long").alias("url_len"),
+        F.round(digit_frac, 6).alias("url_digit_frac"),
+        F.round(score, 6).alias("url_word_score"),
+    ).withColumn("url_ip_host", ip_host)
+    if blocked_hosts is not None:
+        b = F.broadcast(
+            blocked_hosts.select(F.lower(F.col("host")).alias("_bh")).distinct()
+        )
+        out = out.join(b, out["url_host"] == F.col("_bh"), "left").withColumn(
+            "url_blocked", F.col("_bh").isNotNull()
+        ).drop("_bh")
+    else:
+        out = out.withColumn("url_blocked", F.lit(False))
+    keep = (
+        ~F.col("url_blocked")
+        & ~F.col("url_ip_host")
+        & (F.col("url_len") <= F.lit(int(max_len)))
+        & (F.col("url_digit_frac") <= F.lit(float(max_digit_frac)))
+        & (F.col("url_word_score") < F.lit(float(max_word_score)))
+    )
+    return out.withColumn("url_keep", keep)

@@ -269,3 +269,39 @@ def test_image_pair_filter_composes_with_decode_frame(spark):
                                       min_side=200).collect()}
     assert out["i0"]["keep"] and out["i0"]["decode_ok"]
     assert not out["i1"]["size_ok"]
+
+
+def test_url_quality_rules_each_fire(spark):
+    from httpz_spark.operators.curation import url_quality_signals
+
+    rows = [
+        ("ok", "https://good.example/a/1?ref=page"),
+        ("blocked", "https://BAD.example/a/1"),
+        ("ip", "https://10.1.2.3/a/1"),
+        ("long", "https://good.example/" + "z" * 300),
+        ("digits", "https://good.example/?sid=" + "9" * 100),
+        ("hardword", "https://good.example/?ref=casino"),
+        ("softword", "https://good.example/?ref=tracker"),   # 0.5 < 0.99: keeps
+        ("cooccur", "https://good.example/?ref=tracker&u=popup"),  # 1.0: drops
+    ]
+    df = spark.createDataFrame(rows, "tag string, url string")
+    blocked = spark.createDataFrame([("bad.example",)], "host string")
+    out = {r["tag"]: r for r in
+           url_quality_signals(df, blocked_hosts=blocked, max_len=255).collect()}
+    assert out["ok"]["url_keep"]
+    assert out["blocked"]["url_blocked"] and not out["blocked"]["url_keep"]
+    assert out["ip"]["url_ip_host"] and not out["ip"]["url_keep"]
+    assert out["long"]["url_len"] > 255 and not out["long"]["url_keep"]
+    assert out["digits"]["url_digit_frac"] > 0.5 and not out["digits"]["url_keep"]
+    assert out["hardword"]["url_word_score"] == 1.0 and not out["hardword"]["url_keep"]
+    assert out["softword"]["url_word_score"] == 0.5 and out["softword"]["url_keep"]
+    assert out["cooccur"]["url_word_score"] == 1.0 and not out["cooccur"]["url_keep"]
+
+
+def test_url_quality_map_only_plan(spark):
+    # no blocklist -> pure map stage: no exchange, no python
+    from httpz_spark.operators.curation import url_quality_signals
+
+    df = spark.createDataFrame([("https://a.example/x",)], "url string")
+    plan = url_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
