@@ -305,3 +305,24 @@ def test_url_quality_map_only_plan(spark):
     df = spark.createDataFrame([("https://a.example/x",)], "url string")
     plan = url_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_quality_composes_with_frontier(spark):
+    # the crawl-pipeline placement: score seeds BEFORE they enter the
+    # frontier so fetch budget is never spent on rule-dropped URLs
+    from httpz_spark.operators.curation import url_quality_signals
+    from httpz_spark.plans.frontier import urls_to_frontier
+
+    seeds = spark.createDataFrame(
+        [("https://ok.example/a",), ("https://bad.example/x",),
+         ("https://10.0.0.1/y",), ("https://ok.example/?ref=casino",)],
+        "raw string",
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "host string")
+    kept = (
+        url_quality_signals(seeds, url_col="raw", blocked_hosts=blocked)
+        .filter("url_keep").select("raw")
+    )
+    fr = urls_to_frontier(kept, "raw", depth=0, wave_id=0)
+    assert [(r["host"], r["path"]) for r in fr.select("host", "path").collect()] \
+        == [("ok.example", "/a")]
