@@ -282,3 +282,27 @@ def test_engine_invalidate_seen_refetches_stale(spark, seen_filter):
         assert refetched == stale_set
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_cuckoo_random_ops_match_reference_multiset():
+    # property check, pure numpy: interleaved insert/delete batches vs a
+    # reference multiset — no false negative EVER for a key with >=1 live
+    # copy; deletes only ever target inserted keys (the cuckoo contract)
+    from collections import Counter
+
+    rng = np.random.RandomState(99)
+    table = _table(8_000)
+    live = Counter()
+    pool = np.unique(rng.randint(-2**62, 2**62, size=6_000, dtype=np.int64))
+    for step in range(12):
+        ins = rng.choice(pool, size=400, replace=False)
+        assert cuckoo_insert(table, ins, seed=step) == 0
+        live.update(int(k) for k in ins)
+        have = np.array([k for k, c in live.items() if c > 0], dtype=np.int64)
+        dele = rng.choice(have, size=min(150, len(have)), replace=False)
+        assert cuckoo_delete(table, dele) == 0
+        live.subtract(int(k) for k in dele)
+        alive = np.array([k for k, c in live.items() if c > 0], dtype=np.int64)
+        assert cuckoo_contains(table, alive).all(), f"false negative at step {step}"
+    # table occupancy equals the multiset cardinality (every op accounted)
+    assert int((table != 0).sum()) == sum(c for c in live.values() if c > 0)
