@@ -348,8 +348,9 @@ def table_queries(spark) -> tuple:
         # the end-to-end curated capstone
         "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
         "c4_clean", "training_shard_curated", "corpus_report",
-        # round-6 session 5: cuckoo seen path + recrawl invalidation
-        "seen_antijoin_cuckoo", "recrawl_invalidate",
+        # round-6 session 5: cuckoo seen path + recrawl invalidation +
+        # pre-fetch URL rules
+        "seen_antijoin_cuckoo", "recrawl_invalidate", "url_quality",
     ]
     qs = E.queries()
     times, loads = {}, {}
