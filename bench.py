@@ -594,18 +594,18 @@ def run_scaling() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
     rows = []
-    for metric, key, invert in (
-        ("URLs fetched/sec", "urls_per_sec", False),
+    # mode: "rate" keys hold ops/sec directly; "per_row" keys hold seconds
+    # for DEDUP_ROWS rows and render as DEDUP_ROWS/sec
+    for metric, key, mode in (
+        ("URLs fetched/sec", "urls_per_sec", "rate"),
         ("frontier-dedup ops/sec (plain JVM anti-join — engine default at this seen ratio)",
-         None, None),
-        ("frontier-dedup ops/sec (persisted-bloom path)", "dedup_ops_per_sec", False),
+         "dedup_plain_sec", "per_row"),
+        ("frontier-dedup ops/sec (persisted-bloom path)", "dedup_ops_per_sec", "rate"),
         ("frontier-dedup ops/sec (persisted-cuckoo path — delete-capable)",
-         "dedup_cuckoo_sec", None),
+         "dedup_cuckoo_sec", "per_row"),
     ):
-        if key == "dedup_cuckoo_sec":
-            vals = [DEDUP_ROWS / results[c]["dedup_cuckoo_sec"] for c in (4, 8, 16, 32)]
-        elif key is None:
-            vals = [DEDUP_ROWS / results[c]["dedup_plain_sec"] for c in (4, 8, 16, 32)]
+        if mode == "per_row":
+            vals = [DEDUP_ROWS / results[c][key] for c in (4, 8, 16, 32)]
         else:
             vals = [results[c][key] for c in (4, 8, 16, 32)]
         e416 = round((vals[2] / vals[0]) / 4, 3)

@@ -72,6 +72,55 @@ def bloom_maybe(bits: np.ndarray, m: int, k: int, keys: np.ndarray) -> np.ndarra
     return probes.all(axis=1)
 
 
+def _probe_maybe_seen(candidates: DataFrame, key_col: str, partitions: int,
+                      make_contains) -> DataFrame:
+    """The shared probe stage for both filter structures: adds
+    ``maybe_seen boolean``.  Candidates are repartitioned on pid so each
+    task reads one filter file (candidate-side-only shuffle; the seen
+    table is untouched).  ``make_contains(pid)`` returns a
+    ``keys -> bool-mask`` callable, or None when the pid must degrade to
+    maybe-seen=True (absent/corrupt/saturated file — the exact anti-join
+    recheck then preserves correctness).
+
+    The stage is ``mapInArrow``, not ``mapInPandas``: it only READS the
+    key column (numpy view) and APPENDS a boolean — pass-through columns
+    (url/host/path strings at frontier width) are never boxed into pandas
+    objects (measured numbers in BENCH/BASELINE.md's bloom section)."""
+    import pyarrow as pa
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    P = partitions
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def run(batches):
+        cache: dict = {}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            keys = rb.column(rb.schema.get_field_index(key_col)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            pids = np.mod(keys, P)
+            mask = np.zeros(rb.num_rows, dtype=bool)
+            for pid in np.unique(pids):
+                if pid not in cache:
+                    cache[int(pid)] = make_contains(int(pid))
+                contains = cache[int(pid)]
+                sel = pids == pid
+                if contains is None:
+                    mask[sel] = True
+                else:
+                    mask[sel] = contains(keys[sel])
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(mask)],
+                names=list(rb.schema.names) + ["maybe_seen"],
+            )
+
+    parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
+    return parted.mapInArrow(run, schema=out_schema)
+
+
 class BloomIndex:
     """Persisted per-partition bloom filters over seen url_hash keys.
 
@@ -153,52 +202,20 @@ class BloomIndex:
 
     # -- probe ----------------------------------------------------------------
     def probe(self, candidates: DataFrame, key_col: str = "url_hash") -> DataFrame:
-        """Adds ``maybe_seen boolean``.  Candidates are repartitioned on pid
-        so each task reads one bloom file (candidate-side-only shuffle; the
-        seen table is untouched).
-
-        The stage is ``mapInArrow``, not ``mapInPandas``: the probe only
-        READS the key column (numpy view) and APPENDS a boolean —
-        pass-through columns (url/host/path strings at frontier width) are
-        never boxed into pandas objects (measured numbers in
-        BENCH/BASELINE.md's bloom section)."""
-        import pyarrow as pa
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        m, k, P = self.m, self.k, self.partitions
+        """Adds ``maybe_seen boolean`` via the shared mapInArrow stage
+        (:func:`_probe_maybe_seen`); an unreadable bloom file degrades its
+        pid to maybe-seen=True (the exact anti-join recheck)."""
+        m, k = self.m, self.k
         path_of = self._path
-        out_schema = StructType(
-            list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
-        )
 
-        def run(batches):
-            cache: dict[int, np.ndarray] = {}
-            for rb in batches:
-                if rb.num_rows == 0:
-                    continue
-                keys = rb.column(rb.schema.get_field_index(key_col)) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                pids = np.mod(keys, P)
-                mask = np.zeros(rb.num_rows, dtype=bool)
-                for pid in np.unique(pids):
-                    if pid not in cache:
-                        try:
-                            cache[int(pid)] = np.load(path_of(int(pid)))
-                        except (FileNotFoundError, ValueError):
-                            cache[int(pid)] = None
-                    bits = cache[int(pid)]
-                    sel = pids == pid
-                    if bits is None:
-                        mask[sel] = True  # no bloom -> degrade to exact check
-                    else:
-                        mask[sel] = bloom_maybe(bits, m, k, keys[sel])
-                yield pa.RecordBatch.from_arrays(
-                    list(rb.columns) + [pa.array(mask)],
-                    names=list(rb.schema.names) + ["maybe_seen"],
-                )
+        def make_contains(pid: int):
+            try:
+                bits = np.load(path_of(pid))
+            except (ValueError, KeyError, EOFError, OSError):
+                return None  # absent/corrupt -> degrade to exact check
+            return lambda keys: bloom_maybe(bits, m, k, keys)
 
-        parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
-        return parted.mapInArrow(run, schema=out_schema)
+        return _probe_maybe_seen(candidates, key_col, self.partitions, make_contains)
 
 
 # ---------------------------------------------------------------------------
@@ -384,15 +401,21 @@ class CuckooIndex:
 
     @staticmethod
     def _load_file(path: str, nbuckets: int):
-        """(table, saturated) — fresh empty table when absent/corrupt is
-        WRONG for probing (false negatives), so probe-side absence is
-        handled by the caller as degrade-to-exact; this loader is for the
-        mutate paths, where starting empty is correct."""
+        """(table, saturated, existed).  ABSENT file -> fresh table,
+        existed=False (a mutate may start empty; a DELETE must not — see
+        _mutate).  CORRUPT/TRUNCATED file (BadZipFile/EOFError/ValueError/
+        KeyError/OSError) -> fresh table but saturated=True: the stored
+        fingerprints are lost, so the partition must degrade to the exact
+        anti-join forever rather than answer 'definitely unseen'."""
+        import zipfile
+
         try:
             with np.load(path) as z:
-                return z["table"], bool(z["saturated"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return np.zeros((nbuckets, _CUCKOO_SLOTS), dtype=np.uint16), False
+                return z["table"], bool(z["saturated"]), True
+        except FileNotFoundError:
+            return np.zeros((nbuckets, _CUCKOO_SLOTS), dtype=np.uint16), False, False
+        except (ValueError, KeyError, EOFError, OSError, zipfile.BadZipFile):
+            return np.zeros((nbuckets, _CUCKOO_SLOTS), dtype=np.uint16), True, True
 
     @staticmethod
     def _store_file(path: str, table: np.ndarray, saturated: bool) -> None:
@@ -411,13 +434,23 @@ class CuckooIndex:
                 return pd.DataFrame({"pid": pd.Series([], dtype="int64"),
                                      "n_fail": pd.Series([], dtype="int64")})
             pid = int(pdf["_pid"].iloc[0])
-            table, saturated = load(path_of(pid), nb)
+            table, saturated, existed = load(path_of(pid), nb)
             ks = pdf[key_col].to_numpy(dtype=np.int64)
             if op == "insert":
                 failed = cuckoo_insert(table, ks, seed=0x5EED ^ pid)
                 saturated = saturated or failed > 0
             else:
+                if not existed:
+                    # deleting from a pid with no file must NOT materialize
+                    # an authoritative empty table (the probe would answer
+                    # 'definitely unseen' for the whole partition); leave it
+                    # absent so the probe keeps degrading to the exact join
+                    return pd.DataFrame({"pid": [pid], "n_fail": [len(ks)]})
                 failed = cuckoo_delete(table, ks)
+                # a delete that found no stored copy means the caller broke
+                # the delete-only-what-was-inserted contract (or the file
+                # was reset); the only safe answer is degrade-to-exact
+                saturated = saturated or failed > 0
             store(path_of(pid), table, saturated)
             return pd.DataFrame({"pid": [pid], "n_fail": [failed]})
 
@@ -440,49 +473,20 @@ class CuckooIndex:
         self._mutate(stale_keys, key_col, "delete")
 
     def probe(self, candidates: DataFrame, key_col: str = "url_hash") -> DataFrame:
-        """Adds ``maybe_seen boolean``; same mapInArrow stage shape as
-        BloomIndex.probe (candidate-side-only shuffle, key column read as a
-        numpy view, pass-through columns never boxed)."""
-        import pyarrow as pa
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        P, nb = self.partitions, self.nbuckets
+        """Adds ``maybe_seen boolean`` via the shared mapInArrow stage
+        (:func:`_probe_maybe_seen`); an absent, corrupt, or saturated pid
+        degrades to maybe-seen=True (the exact anti-join recheck)."""
+        nb = self.nbuckets
         path_of = self._path
-        out_schema = StructType(
-            list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
-        )
+        load = self._load_file
 
-        def run(batches):
-            cache: dict[int, np.ndarray | None] = {}
-            for rb in batches:
-                if rb.num_rows == 0:
-                    continue
-                keys = rb.column(rb.schema.get_field_index(key_col)) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                pids = np.mod(keys, P)
-                mask = np.zeros(rb.num_rows, dtype=bool)
-                for pid in np.unique(pids):
-                    if pid not in cache:
-                        try:
-                            with np.load(path_of(int(pid))) as z:
-                                cache[int(pid)] = (
-                                    None if bool(z["saturated"]) else z["table"]
-                                )
-                        except (FileNotFoundError, ValueError, KeyError):
-                            cache[int(pid)] = None
-                    table = cache[int(pid)]
-                    sel = pids == pid
-                    if table is None:
-                        mask[sel] = True  # absent/saturated -> exact recheck
-                    else:
-                        mask[sel] = cuckoo_contains(table, keys[sel])
-                yield pa.RecordBatch.from_arrays(
-                    list(rb.columns) + [pa.array(mask)],
-                    names=list(rb.schema.names) + ["maybe_seen"],
-                )
+        def make_contains(pid: int):
+            table, saturated, existed = load(path_of(pid), nb)
+            if not existed or saturated:
+                return None  # absent/corrupt/saturated -> exact recheck
+            return lambda keys: cuckoo_contains(table, keys)
 
-        parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
-        return parted.mapInArrow(run, schema=out_schema)
+        return _probe_maybe_seen(candidates, key_col, self.partitions, make_contains)
 
 
 def dedup_unseen(

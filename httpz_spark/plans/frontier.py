@@ -180,10 +180,22 @@ class CrawlEngine:
         if cur is None:
             self.store.write("frontier", fresh.dropDuplicates(["url_hash"]))
             return
+        # deterministic cross-source dedup (same resolution as run_wave's
+        # deferred-vs-discovered merge): a URL both queued and re-seeded
+        # keeps the min (priority, wave_id, url_canon) row — a bare
+        # dropDuplicates would pick an arbitrary one and break bit-exact
+        # resume/oracle comparisons
+        others = [c for c in FRONTIER_COLS if c != "url_hash"]
         merged = (
             cur.select(*FRONTIER_COLS)
             .unionByName(fresh.select(*FRONTIER_COLS))
-            .dropDuplicates(["url_hash"])
+            .groupBy("url_hash")
+            .agg(F.min_by(
+                F.struct(*others),
+                F.struct("priority", "wave_id", "url_canon"),
+            ).alias("_r"))
+            .select("url_hash", *[F.col(f"_r.{c}").alias(c) for c in others])
+            .select(*FRONTIER_COLS)
         )
         self.store.write("frontier", merged)
 
@@ -361,24 +373,43 @@ class CrawlEngine:
     def _bloom(self) -> "BloomIndex | CuckooIndex | None":
         """The persisted seen-filter index (name kept from when bloom was
         the only structure; ``EngineConfig.seen_filter`` picks bloom or
-        cuckoo — identical probe contract, see frontier_dedup)."""
+        cuckoo — identical probe contract, see frontier_dedup).
+
+        Creating an index over ALREADY-POPULATED seen state (first wave
+        after flipping ``seen_filter``, or after an index dir was lost)
+        BACKFILLS it from the seen table in one job: a fresh filter over a
+        populated table would answer 'definitely unseen' for the whole
+        old corpus and re-crawl it."""
         ecfg = self.engine_cfg
         if not ecfg.use_bloom:
             return None
+        if ecfg.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"EngineConfig.seen_filter must be 'bloom' or 'cuckoo', "
+                f"got {ecfg.seen_filter!r}"
+            )
         import os
 
+        root = os.path.join(self.store.root, ecfg.seen_filter)
+        fresh = not os.path.exists(os.path.join(root, "meta.json"))
         if ecfg.seen_filter == "cuckoo":
-            return CuckooIndex.open_or_create(
-                os.path.join(self.store.root, "cuckoo"),
+            idx = CuckooIndex.open_or_create(
+                root,
                 partitions=ecfg.partitions,
                 capacity_per_part=ecfg.bloom_capacity_per_part,
             )
-        return BloomIndex.open_or_create(
-            os.path.join(self.store.root, "bloom"),
-            partitions=ecfg.partitions,
-            capacity_per_part=ecfg.bloom_capacity_per_part,
-            bits_per_key=ecfg.bloom_bits_per_key,
-        )
+        else:
+            idx = BloomIndex.open_or_create(
+                root,
+                partitions=ecfg.partitions,
+                capacity_per_part=ecfg.bloom_capacity_per_part,
+                bits_per_key=ecfg.bloom_bits_per_key,
+            )
+        if fresh:
+            seen = self.store.read("seen")
+            if seen is not None:
+                idx.update(seen.select("url_hash"))
+        return idx
 
     def invalidate_seen(self, stale_keys: DataFrame) -> None:
         """Recrawl invalidation: remove stale URLs from the seen state so
@@ -389,26 +420,44 @@ class CrawlEngine:
         must REBUILD from the surviving seen table (O(seen) scan, the
         documented cost of picking bloom on a recrawling deployment).
 
-        ``stale_keys``: any frame with a ``url_hash`` column."""
-        keys = stale_keys.select("url_hash").distinct()
+        ``stale_keys``: any frame with a ``url_hash`` column.  Keys are
+        SEMI-JOINED against the current seen table first, so deleting a
+        never-seen key (recrawl 'new' rows, an overlapping stale set, or a
+        crash-re-run of this method after the tombstone landed) is a
+        no-op — the cuckoo contract forbids deleting what was never
+        inserted (it could evict a colliding key's fingerprint and turn a
+        seen URL 'definitely unseen'), and this gate is what makes the
+        whole method idempotent."""
+        seen = self.store.read("seen")
+        if seen is None:
+            return
+        keys = (
+            stale_keys.select("url_hash").distinct()
+            .join(seen.select("url_hash"), "url_hash", "left_semi")
+        )
         # persist: the keys drive the table tombstone AND the filter
-        # mutation — two actions over one (possibly non-deterministic
-        # upstream) frame, same discipline as the dedup eager barriers
+        # mutation — two actions over one frame, and the semi-join's
+        # result changes once the tombstone lands (same discipline as the
+        # dedup eager barriers)
         keys = keys.localCheckpoint(eager=True)
         try:
-            self.store.merge_delete("seen", keys, key="url_hash")
+            # open the index BEFORE the tombstone lands: a fresh index
+            # backfills from the seen table inside _bloom(), and that
+            # backfill must cover the keys we are about to delete
             idx = self._bloom()
+            self.store.merge_delete("seen", keys, key="url_hash")
             if isinstance(idx, CuckooIndex):
                 idx.delete(keys)
             elif idx is not None:
                 import os
                 import shutil
 
+                # blooms cannot delete: rebuild from the surviving seen
+                # table (the documented O(seen) cost of bloom on a
+                # recrawling deployment; _bloom() backfills the fresh dir)
                 shutil.rmtree(os.path.join(self.store.root, "bloom"),
                               ignore_errors=True)
-                surviving = self.store.read("seen")
-                if surviving is not None:
-                    self._bloom().update(surviving.select("url_hash"))
+                self._bloom()
         finally:
             release_local_checkpoint(keys)
 

@@ -158,8 +158,8 @@ def test_saturated_partition_degrades_to_exact(spark):
         seen_df = _hash_df(spark, seen)
         idx.update(seen_df)
         # pid-0 file must be flagged saturated -> probe returns all-maybe
-        table, saturated = CuckooIndex._load_file(idx._path(0), idx.nbuckets)
-        assert saturated
+        table, saturated, existed = CuckooIndex._load_file(idx._path(0), idx.nbuckets)
+        assert saturated and existed
         cand = np.concatenate([seen[:100], _keys(200, seed=13)])
         cand_df = _hash_df(spark, cand)
         got = sorted(r[0] for r in
@@ -306,3 +306,145 @@ def test_cuckoo_random_ops_match_reference_multiset():
         assert cuckoo_contains(table, alive).all(), f"false negative at step {step}"
     # table occupancy equals the multiset cardinality (every op accounted)
     assert int((table != 0).sum()) == sum(c for c in live.values() if c > 0)
+
+
+# -- review-hardening regressions ---------------------------------------------------
+
+
+def test_delete_on_missing_pid_file_stays_degraded(spark):
+    # deleting from a pid with no file must NOT materialize an
+    # authoritative empty table (probe would answer definitely-unseen for
+    # the whole partition); the pid must keep degrading to the exact join
+    import os
+
+    root = tempfile.mkdtemp(prefix="httpz_ck_")
+    try:
+        idx = CuckooIndex.open_or_create(root, partitions=2,
+                                         capacity_per_part=1_000)
+        keys = _keys(50, seed=21)
+        idx.delete(_hash_df(spark, keys))
+        assert not any(f.startswith("pid=") for f in os.listdir(root))
+        probed = idx.probe(_hash_df(spark, keys)).collect()
+        assert all(r["maybe_seen"] for r in probed)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_corrupt_npz_degrades_not_crashes(spark):
+    # a truncated/garbage pid file raises BadZipFile from np.load — the
+    # probe must degrade that pid to maybe (exact recheck), never crash
+    # the wave, and a subsequent mutate must flag it saturated
+    root = tempfile.mkdtemp(prefix="httpz_ck_")
+    try:
+        seen = _keys(800, seed=22)
+        idx = CuckooIndex.open_or_create(root, partitions=2,
+                                         capacity_per_part=1_000)
+        seen_df = _hash_df(spark, seen)
+        idx.update(seen_df)
+        with open(idx._path(0), "wb") as f:
+            f.write(b"not a zip at all")
+        probed = {r["url_hash"]: r["maybe_seen"]
+                  for r in idx.probe(seen_df).collect()}
+        assert all(probed[int(k)] for k in seen)  # pid 0 degraded, pid 1 real
+        got = sorted(r[0] for r in
+                     dedup_unseen(seen_df, seen_df, bloom=idx).collect())
+        assert got == []  # exactness survives corruption
+        # inserting over the corrupt file marks it saturated (old
+        # fingerprints are lost -> never authoritative again)
+        idx.update(_hash_df(spark, _keys(50, seed=23)))
+        _t0, saturated0, _e0 = CuckooIndex._load_file(idx._path(0), idx.nbuckets)
+        assert saturated0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_of_never_inserted_key_saturates(spark):
+    # _mutate surfaces cuckoo_delete's missing count as saturation: the
+    # contract was broken, so the pid degrades to the exact join
+    root = tempfile.mkdtemp(prefix="httpz_ck_")
+    try:
+        seen = _keys(500, seed=24)
+        idx = CuckooIndex.open_or_create(root, partitions=1,
+                                         capacity_per_part=1_000)
+        idx.update(_hash_df(spark, seen))
+        never = np.setdiff1d(_keys(100, seed=25), seen)
+        idx.delete(_hash_df(spark, never))
+        _t, saturated, existed = CuckooIndex._load_file(idx._path(0), idx.nbuckets)
+        assert existed and saturated
+        probed = idx.probe(_hash_df(spark, seen)).collect()
+        assert all(r["maybe_seen"] for r in probed)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_invalidate_seen_is_idempotent(spark):
+    # re-running invalidate_seen with the same (or an overlapping) stale
+    # set must be a no-op: keys are semi-joined against the current seen
+    # table, so the filter never sees a delete for an absent key
+    state = tempfile.mkdtemp(prefix="httpz_ckeng_")
+    try:
+        eng, world = _crawl_world(spark, state, "cuckoo")
+        eng.init_frontier(S.seeds_df(spark, S.seed_url_lines(world)))
+        s0 = eng.run_wave(0)
+        seen0 = eng.store.read("seen").select("url_hash", "url_canon")
+        stale = seen0.orderBy("url_hash").limit(2).localCheckpoint(eager=True)
+        eng.invalidate_seen(stale)
+        n_after = eng.store.read("seen").count()
+        assert n_after == s0["n_fetched"] - 2
+        eng.invalidate_seen(stale)  # crash-re-run / overlapping stale set
+        assert eng.store.read("seen").count() == n_after
+        # remaining seen keys still probe maybe (no fingerprint was evicted)
+        idx = eng._bloom()
+        remaining = eng.store.read("seen").select("url_hash")
+        probed = idx.probe(remaining).collect()
+        assert all(r["maybe_seen"] for r in probed)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_seen_filter_flip_backfills_from_seen_table(spark):
+    # switching EngineConfig.seen_filter on existing state must backfill
+    # the fresh index from the seen table — wave k+1 must NOT re-admit
+    # the old corpus
+    state = tempfile.mkdtemp(prefix="httpz_ckeng_")
+    try:
+        eng, world = _crawl_world(spark, state, "bloom")
+        eng.init_frontier(S.seeds_df(spark, S.seed_url_lines(world)))
+        s0 = eng.run_wave(0)
+        assert s0["n_fetched"] > 0
+        eng2, _ = _crawl_world(spark, state, "cuckoo")
+        eng2.add_seeds(S.seeds_df(spark, S.seed_url_lines(world)))
+        s1 = eng2.run_wave(1)
+        assert s1.get("n_fetched", 0) == 0  # everything already seen
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_seen_filter_value_is_validated(spark):
+    state = tempfile.mkdtemp(prefix="httpz_ckeng_")
+    try:
+        eng, world = _crawl_world(spark, state, "cukoo")  # typo'd on purpose
+        with pytest.raises(ValueError, match="seen_filter"):
+            eng._bloom()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_add_seeds_resolution_is_deterministic(spark):
+    # a URL both queued (deep row) and re-seeded (depth-0 row) keeps the
+    # min (priority, wave_id, url_canon) row — not an arbitrary one
+    from httpz_spark.plans.frontier import urls_to_frontier
+
+    state = tempfile.mkdtemp(prefix="httpz_ckeng_")
+    try:
+        eng, world = _crawl_world(spark, state, "cuckoo")
+        seeds = S.seeds_df(spark, S.seed_url_lines(world))
+        deep = urls_to_frontier(seeds, "raw", depth=2, wave_id=3)
+        eng.store.write("frontier", deep.dropDuplicates(["url_hash"]))
+        eng.add_seeds(seeds)
+        fr = eng.store.read("frontier")
+        rows = fr.select("url_hash", "depth", "wave_id").collect()
+        assert len(rows) == fr.select("url_hash").distinct().count()
+        assert all(r["depth"] == 0 and r["wave_id"] == 0 for r in rows)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
