@@ -723,6 +723,34 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rank").cast("long").alias("rank"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell the embeddings,
+    within-cell cosine pairs >= tau, connected components, keep the member
+    with the LOWEST centroid-cosine per component.  Random embeddings have
+    no semantic dups, so every 3rd vector gains a deterministic perturbed
+    variant (v*0.9 + 0.03 per coordinate — the re-encode/augment stand-in)
+    at id+100000; the oracle replays the whole derivation in REAL SQL
+    (list_cosine_similarity + recursive-CTE components)."""
+    from httpz_spark.operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    variants = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.03).alias("embedding"),
+    )
+    allv = base.unionByName(variants)
+    out = semdedup(allv, tau=0.7, n_clusters=8)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper").cast("long").alias("keeper"),
+        F.round("cent_cos", 6).alias("cent_cos"),
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible: murmur3/xxhash64 UDF kernels,
 # ---- the synthetic web fabric, iterative wave state) ----------------------
 
@@ -1303,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _shipped(q_c4_clean),
         "corpus_report": _shipped(q_corpus_report),
         "cosine_topk": _shipped(q_cosine_topk),
+        "semdedup": _shipped(q_semdedup),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2176,6 +2205,54 @@ def oracle_sql() -> dict[str, str]:
                               c.vec_id) AS rank
             FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
             QUALIFY rank <= 5
+        """,
+        # SemDeDup: the full derivation in SQL — variant construction,
+        # argmax-cosine cell assignment (first index wins ties, matching
+        # ivf_assign's array_position rule), within-cell pairs >= tau,
+        # recursive-CTE components, lowest-centroid-cosine keep rule
+        "semdedup": """
+            WITH RECURSIVE
+            base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            var AS (SELECT vec_id + 100000 AS vec_id,
+                           list_transform(e, x -> x * 0.9 + 0.03) AS e
+                    FROM base WHERE vec_id % 3 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+            cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                            e AS c
+                     FROM (SELECT vec_id, e FROM allv ORDER BY vec_id LIMIT 8)),
+            coss AS (SELECT a.vec_id, a.e, c.cid,
+                            list_cosine_similarity(a.e, c.c) AS cos,
+                            max(list_cosine_similarity(a.e, c.c)) OVER (
+                              PARTITION BY a.vec_id) AS mx
+                     FROM allv a CROSS JOIN cent c),
+            asg AS (SELECT vec_id, arg_min(e, cid) AS e,
+                           min(cid) FILTER (WHERE cos = mx) AS cell
+                    FROM coss GROUP BY vec_id),
+            p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                         list_cosine_similarity(l.e, r.e) AS cos
+                  FROM asg l JOIN asg r
+                    ON l.cell = r.cell AND l.vec_id < r.vec_id
+                  WHERE list_cosine_similarity(l.e, r.e) >= 0.7),
+            e2 AS (SELECT a AS x, b AS y FROM p
+                   UNION SELECT b AS x, a AS y FROM p),
+            reach(id, r) AS (
+              SELECT x, y FROM e2
+              UNION
+              SELECT reach.id, e2.y FROM reach JOIN e2 ON reach.r = e2.x),
+            comp AS (SELECT id, least(id, min(r)) AS canonical
+                     FROM reach GROUP BY id),
+            mc AS (SELECT asg.vec_id AS id,
+                          list_cosine_similarity(asg.e, cent.c) AS cent_cos
+                   FROM asg JOIN cent ON asg.cell = cent.cid),
+            scored AS (SELECT comp.id, comp.canonical, mc.cent_cos
+                       FROM comp JOIN mc ON comp.id = mc.id),
+            keep AS (SELECT canonical, id AS keeper FROM (
+                       SELECT canonical, id,
+                              row_number() OVER (PARTITION BY canonical
+                                ORDER BY cent_cos, id) AS rn
+                       FROM scored) WHERE rn = 1)
+            SELECT s.id, k.keeper, round(s.cent_cos, 6) AS cent_cos
+            FROM scored s JOIN keep k USING (canonical)
         """,
     }
 
