@@ -545,6 +545,30 @@ def q_training_shard_decontam(spark, sf_dir):
     ).filter(F.col("quality") >= 0.5)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020): bigram LM
+    with add-k smoothing trained on the reference split (doc_id%10==3
+    standing in for Wikipedia), every other doc scored by perplexity and
+    bucketed head/middle/tail at fixed cutoffs.  The LM tables broadcast
+    (reference corpora are small); per-doc log-prob sums are
+    decimal-quantized so the aggregation is order-independent and the
+    oracle replays every number in REAL SQL."""
+    from httpz_spark.operators.lmfilter import lm_perplexity, lm_train, ppl_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    is_ref = F.pmod(F.col("doc_id"), F.lit(10)) == 3
+    bigrams, contexts, vocab = lm_train(d.filter(is_ref))
+    scored = lm_perplexity(d.filter(~is_ref), bigrams, contexts, vocab)
+    out = ppl_buckets(scored, head_max=30.0, middle_max=40.0)
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+        "ppl_bucket",
+    )
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1332,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _shipped(q_corpus_report),
         "cosine_topk": _shipped(q_cosine_topk),
         "semdedup": _shipped(q_semdedup),
+        "lm_perplexity": _shipped(q_lm_perplexity),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2253,6 +2278,55 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored) WHERE rn = 1)
             SELECT s.id, k.keeper, round(s.cent_cos, 6) AS cent_cos
             FROM scored s JOIN keep k USING (canonical)
+        """,
+        # CCNet LM perplexity: the bigram LM (add-0.5 smoothing) trained on
+        # the doc_id%10==3 split, replayed end-to-end — bigrams via zipped
+        # list slices, per-doc sums as DECIMAL(20,9) (order-independent,
+        # matching the engine's decimal quantization), fixed bucket cutoffs
+        "lm_perplexity": f"""
+            WITH
+            nd AS (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm FROM documents),
+            tok AS (SELECT doc_id,
+                           CASE WHEN norm = '' THEN []
+                                ELSE string_split(norm, ' ') END AS t
+                    FROM nd),
+            ref AS (SELECT * FROM tok WHERE doc_id % 10 = 3),
+            rest AS (SELECT * FROM tok WHERE doc_id % 10 != 3),
+            refp AS (SELECT doc_id,
+                            unnest(list_slice(a, 1, len(a) - 1)) AS ctx,
+                            unnest(list_slice(a, 2, len(a))) AS w
+                     FROM (SELECT doc_id, ['<s>'] || t AS a FROM ref)),
+            bg AS (SELECT ctx, w, count(*) AS cnt FROM refp GROUP BY ctx, w),
+            cx AS (SELECT ctx, count(*) AS ctx_cnt FROM refp GROUP BY ctx),
+            v AS (SELECT count(DISTINCT tk) + 1 AS vs
+                  FROM (SELECT unnest(t) AS tk FROM ref)),
+            restp AS (SELECT doc_id,
+                             unnest(list_slice(a, 1, len(a) - 1)) AS ctx,
+                             unnest(list_slice(a, 2, len(a))) AS w
+                      FROM (SELECT doc_id, ['<s>'] || t AS a FROM rest)),
+            sc AS (SELECT p.doc_id,
+                          CAST(round(ln((coalesce(bg.cnt, 0) + 0.5)
+                                 / (coalesce(cx.ctx_cnt, 0)
+                                    + 0.5 * (SELECT vs FROM v))), 9)
+                               AS DECIMAL(20,9)) AS lq
+                   FROM restp p
+                   LEFT JOIN bg ON p.ctx = bg.ctx AND p.w = bg.w
+                   LEFT JOIN cx ON p.ctx = cx.ctx),
+            agg AS (SELECT doc_id, count(*) AS n, sum(lq) AS s
+                    FROM sc GROUP BY doc_id),
+            outv AS (SELECT doc_id, n AS n_scored,
+                            CAST(s AS DOUBLE) / n AS avg
+                     FROM agg
+                     UNION ALL
+                     SELECT r.doc_id, 0 AS n_scored, NULL AS avg
+                     FROM rest r ANTI JOIN agg ON r.doc_id = agg.doc_id)
+            SELECT doc_id, n_scored,
+                   round(avg, 6) AS avg_logp,
+                   round(exp(-avg), 6) AS ppl,
+                   CASE WHEN exp(-avg) <= 30.0 THEN 'head'
+                        WHEN exp(-avg) <= 40.0 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM outv
         """,
     }
 
