@@ -569,6 +569,31 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_quality_clf(spark, sf_dir):
+    """Model-based quality classifier (the GPT-3 WebText-vs-CommonCrawl /
+    LLaMA fastText shape): fit a linear NB text classifier on a labeled
+    split (doc_id%10==3 positive, ==7 negative), score every other doc.
+    The weights table (capped vocab) BROADCASTS — scoring is a map-only
+    token explode + broadcast join + one map-side-combined groupBy; per-doc
+    weight sums are DECIMAL(20,9)-quantized so the oracle replays the
+    train AND score passes in REAL SQL."""
+    from httpz_spark.operators.qualityclf import nb_score, nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(10))
+    labeled = d.filter(m.isin(3, 7)).withColumn(
+        "label", (m == 3).cast("int")
+    )
+    model = nb_train(labeled, vocab_size=24)
+    scored = nb_score(d.filter(~m.isin(3, 7)), model)
+    return scored.select(
+        "doc_id",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("score", 6).alias("score"),
+        "quality_pred",
+    )
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1357,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _shipped(q_cosine_topk),
         "semdedup": _shipped(q_semdedup),
         "lm_perplexity": _shipped(q_lm_perplexity),
+        "quality_clf": _shipped(q_quality_clf),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2326,6 +2352,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN exp(-avg) <= 30.0 THEN 'head'
                         WHEN exp(-avg) <= 40.0 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
+            FROM outv
+        """,
+        # NB quality classifier: train (token counts -> capped vocab ->
+        # log-odds weights quantized to DECIMAL(20,9)) and score (inner
+        # join on vocab, prior for zero-hit docs) replayed end-to-end;
+        # vocab cap ORDER BY total DESC, tok ASC matches the engine's
+        # deterministic TakeOrdered
+        "quality_clf": f"""
+            WITH
+            nd AS (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm FROM documents),
+            tok AS (SELECT doc_id,
+                           CASE WHEN norm = '' THEN []
+                                ELSE string_split(norm, ' ') END AS t
+                    FROM nd),
+            lab AS (SELECT doc_id,
+                           CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS label,
+                           t
+                    FROM tok WHERE doc_id % 10 IN (3, 7)),
+            ltk AS (SELECT doc_id, label, unnest(t) AS tok FROM lab),
+            counts AS (SELECT tok, sum(label) AS cnt_pos,
+                              sum(1 - label) AS cnt_neg
+                       FROM ltk GROUP BY tok),
+            vocab AS (SELECT * FROM counts
+                      ORDER BY (cnt_pos + cnt_neg) DESC, tok LIMIT 24),
+            tot AS (SELECT sum(cnt_pos) AS pt, sum(cnt_neg) AS nt,
+                           count(*) AS vc FROM vocab),
+            wts AS (SELECT tok,
+                           CAST(round(
+                               ln((cnt_pos + 0.5) / (pt + 0.5 * vc))
+                             - ln((cnt_neg + 0.5) / (nt + 0.5 * vc)), 9)
+                             AS DECIMAL(20,9)) AS wq
+                    FROM vocab, tot),
+            pri AS (SELECT ln((sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 0.5)
+                            / (sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + 0.5))
+                           AS p
+                    FROM lab),
+            rest AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 NOT IN (3, 7)),
+            rtk AS (SELECT doc_id, unnest(t) AS tok FROM rest),
+            agg AS (SELECT r.doc_id, count(*) AS n_matched, sum(w.wq) AS sw
+                    FROM rtk r JOIN wts w USING (tok) GROUP BY r.doc_id),
+            outv AS (SELECT doc_id, n_matched,
+                            (SELECT p FROM pri) + CAST(sw AS DOUBLE) AS score
+                     FROM agg
+                     UNION ALL
+                     SELECT r.doc_id, 0 AS n_matched,
+                            (SELECT p FROM pri) AS score
+                     FROM rest r ANTI JOIN agg ON r.doc_id = agg.doc_id)
+            SELECT doc_id, n_matched, round(score, 6) AS score,
+                   score > 0 AS quality_pred
             FROM outv
         """,
     }
