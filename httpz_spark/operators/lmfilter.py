@@ -119,21 +119,22 @@ def lm_perplexity(
         .groupBy("id")
         .agg(F.count("*").alias("n"), F.sum("logp_q").alias("sum_q"))
     )
+    # one-pass shape: every doc LEFT-joins its score row — an empty doc
+    # misses (n NULL -> n_scored 0, NULL avg/ppl via NULL propagation).
+    # A union-plus-anti-join would re-evaluate the whole bigram
+    # explode+join+agg subtree inside the anti branch (AQE installs no
+    # ReusedExchange across union branches).
     avg = F.col("sum_q").cast("double") / F.col("n").cast("double")
-    out = scored.select(
-        F.col("id").alias(id_col),
-        F.col("n").alias("n_scored"),
-        avg.alias("avg_logp"),
-        F.exp(-avg).alias("ppl"),
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_scored"),
+            avg.alias("avg_logp"),
+            F.exp(-avg).alias("ppl"),
+        )
     )
-    # empty docs score nothing — surface them with n_scored = 0, NULL ppl
-    empties = docs.join(out.select(id_col), id_col, "left_anti").select(
-        F.col(id_col),
-        F.lit(0).cast("long").alias("n_scored"),
-        F.lit(None).cast("double").alias("avg_logp"),
-        F.lit(None).cast("double").alias("ppl"),
-    )
-    return out.unionByName(empties)
 
 
 def ppl_buckets(scored: DataFrame, head_max: float, middle_max: float,
