@@ -594,6 +594,43 @@ def q_quality_clf(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    features (md5-prefix buckets, B=10,000), target distribution fit on
+    the doc_id%10==3 split, raw on the full corpus; per-doc
+    ``log w = sum cnt_b * (ln p_b - ln q_b)`` with DECIMAL-quantized
+    summands.  The B-row LLR table BROADCASTS — scoring is a map-only
+    gram explode + broadcast join + one map-side-combined groupBy."""
+    from httpz_spark.operators.dsir import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
+    return dsir_logweights(d, target).select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("log_w", 6).alias("log_w"),
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k selection: weighted sampling without
+    replacement via hash-derived deterministic Gumbel noise (md5-seeded
+    uniforms — partitioning-independent, exactly resumable, and
+    SQL-replayable).  Plans as TakeOrderedAndProject: per-partition
+    top-k, k-row driver merge, no global sort shuffle."""
+    from httpz_spark.operators.dsir import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
+    sel = dsir_resample(d, target, k=100)
+    return sel.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round(F.col("log_w").cast("double"), 6).alias("log_w"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1383,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _shipped(q_semdedup),
         "lm_perplexity": _shipped(q_lm_perplexity),
         "quality_clf": _shipped(q_quality_clf),
+        "dsir_weights": _shipped(q_dsir_weights),
+        "dsir_select": _shipped(q_dsir_select),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2403,10 +2442,80 @@ def oracle_sql() -> dict[str, str]:
                    score > 0 AS quality_pred
             FROM outv
         """,
+        # DSIR importance weights: hashed unigram+bigram features
+        # (md5-prefix % 10000 — the exact cross-engine bucket contract),
+        # add-1 smoothed target (doc_id%10==3) vs raw (all docs)
+        # multinomials, per-doc DECIMAL sum of cnt * round(llr, 9)
+        "dsir_weights": f"""
+            WITH {_dsir_w_cte()}
+            SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+                   round(CAST(w.lw AS DOUBLE), 6) AS log_w
+            FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        """,
+        # DSIR Gumbel-top-k: score = log_w + -ln(-ln(u)) with
+        # u = (md5_52('dsir:' || doc_id) + 0.5) / 2^52 — the same
+        # hash-derived noise the engine uses, so the selected SET and
+        # every score replay exactly
+        "dsir_select": f"""
+            WITH {_dsir_w_cte()}
+            SELECT doc_id, n_feats,
+                   round(CAST(lw AS DOUBLE), 6) AS log_w,
+                   round(CAST(lw AS DOUBLE)
+                         + -(ln(-ln(((('0x' || substr(md5('dsir:'
+                                || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)
+                                + 0.5) / 4503599627370496.0))),
+                         6) AS score
+            FROM w
+            ORDER BY score DESC, doc_id
+            LIMIT 100
+        """,
     }
 
 
 _NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _dsir_w_cte(buckets: int = 10_000, add_k: float = 1.0) -> str:
+    """CTE chain ending in ``w(doc_id, n_feats, lw)`` — the DSIR
+    weight derivation (mirrors operators/dsir.py exactly: unigram +
+    bigram grams, md5-prefix buckets, add-k smoothed LLR quantized to
+    DECIMAL(20,9), exact decimal per-doc sums)."""
+    return f"""
+            tok AS (SELECT doc_id,
+                     CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ')
+                          END AS t
+                    FROM (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm
+                          FROM documents)),
+            grams AS (
+              SELECT doc_id, unnest(t) AS g FROM tok
+              UNION ALL
+              SELECT doc_id, a || ' ' || b AS g
+              FROM (SELECT doc_id,
+                           unnest(list_slice(t, 1, len(t) - 1)) AS a,
+                           unnest(list_slice(t, 2, len(t))) AS b FROM tok)),
+            feats AS (SELECT doc_id,
+                             (('0x' || substr(md5(g), 1, 13))::BIGINT)
+                               % {buckets} AS bucket,
+                             count(*) AS cnt
+                      FROM grams GROUP BY doc_id, bucket),
+            tcv AS (SELECT bucket, sum(cnt) AS tc FROM feats
+                    WHERE doc_id % 10 = 3 GROUP BY bucket),
+            rcv AS (SELECT bucket, sum(cnt) AS rc FROM feats GROUP BY bucket),
+            ttv AS (SELECT coalesce(sum(cnt), 0) AS v FROM feats
+                    WHERE doc_id % 10 = 3),
+            rtv AS (SELECT coalesce(sum(cnt), 0) AS v FROM feats),
+            llr AS (SELECT r.range AS bucket,
+                           CAST(round(
+                             ln((coalesce(tcv.tc, 0) + {add_k})
+                                / ((SELECT v FROM ttv) + {add_k} * {buckets}))
+                             - ln((coalesce(rcv.rc, 0) + {add_k})
+                                / ((SELECT v FROM rtv) + {add_k} * {buckets})),
+                             9) AS DECIMAL(20,9)) AS llr
+                    FROM range(0, {buckets}) r
+                    LEFT JOIN tcv ON r.range = tcv.bucket
+                    LEFT JOIN rcv ON r.range = rcv.bucket),
+            w AS (SELECT doc_id, sum(cnt) AS n_feats, sum(cnt * llr) AS lw
+                  FROM feats JOIN llr USING (bucket) GROUP BY doc_id)"""
 
 
 def _image_shard_sql(imgs_ctes: str) -> str:

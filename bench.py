@@ -351,6 +351,9 @@ def table_queries(spark) -> tuple:
         # round-6 session 5: cuckoo seen path + recrawl invalidation +
         # pre-fetch URL rules
         "seen_antijoin_cuckoo", "recrawl_invalidate", "url_quality",
+        # round-6 session 6: DSIR importance weights (hashed-gram explode
+        # + broadcast LLR join + map-side-combined doc agg)
+        "dsir_weights",
     ]
     qs = E.queries()
     times, loads = {}, {}
