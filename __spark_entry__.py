@@ -631,6 +631,46 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+_ES_PASSAGE = (
+    "the shared boilerplate banner that appears verbatim on every seventh "
+    "page of this synthetic corpus exactly twenty four tokens long for "
+    "span tests now"
+)  # 24 tokens
+
+
+def _exactsubstr_docs(spark, sf_dir):
+    # ExactSubstr fixture corpus derived deterministically from documents:
+    # every 7th doc is PREPENDED a fixed 24-token passage (a cross-corpus
+    # duplicated span family), every 19th doc APPENDS a copy of its own
+    # first 12 normalized words (a within-doc repeat).  With L=12 windows
+    # both constructions are guaranteed duplicated spans.
+    from httpz_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    norm = normalized_text(F.col("text"))
+    first12 = F.array_join(F.slice(F.split(norm, " "), 1, 12), " ")
+    fixture = F.concat(
+        F.when(k % 7 == 0, F.lit(_ES_PASSAGE + " ")).otherwise(F.lit("")),
+        norm,
+        F.when(k % 19 == 0, F.concat(F.lit(" "), first12)).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", fixture.alias("text"))
+
+
+def q_exactsubstr(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. ACL'22): remove every >=12-token
+    span occurring verbatim more than once corpus-wide, via the
+    dup-L-window identity — md5 window keys (fixed-width shuffle),
+    count-then-join dup detection (map-side combined, skew-immune),
+    gaps-and-islands span merge, native index-filtered text rebuild."""
+    from httpz_spark.operators.exactsubstr import exactsubstr_clean
+
+    return exactsubstr_clean(
+        _exactsubstr_docs(spark, sf_dir), window_tokens=12
+    ).select("doc_id", "n_spans", "n_dup_tokens", "clean_text")
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1422,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf": _shipped(q_quality_clf),
         "dsir_weights": _shipped(q_dsir_weights),
         "dsir_select": _shipped(q_dsir_select),
+        "exactsubstr": _shipped(q_exactsubstr),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2468,6 +2509,69 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             ORDER BY score DESC, doc_id
             LIMIT 100
+        """,
+        # ExactSubstr span dedup: the fixture construction, L=12 rolling
+        # windows, dup detection, gaps-and-islands merge, and the
+        # index-filtered text rebuild all replayed (window key compared
+        # as the raw gram string — md5 on the engine side is injective
+        # modulo 128-bit collisions)
+        "exactsubstr": f"""
+            WITH
+            fx AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN '{_ES_PASSAGE} '
+                          ELSE '' END
+                     || norm
+                     || CASE WHEN doc_id % 19 = 0 THEN ' ' ||
+                          array_to_string(list_slice(
+                            string_split(norm, ' '), 1, 12), ' ')
+                        ELSE '' END AS text
+                   FROM (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm
+                         FROM documents)),
+            tok AS (SELECT doc_id,
+                      CASE WHEN text = '' THEN []
+                           ELSE string_split(text, ' ') END AS t
+                    FROM fx),
+            win AS (SELECT doc_id, i AS pos,
+                           array_to_string(
+                             list_slice(t, i + 1, i + 12), ' ') AS w
+                    FROM tok,
+                         unnest(range(0, greatest(len(t) - 11, 0))) AS z(i)),
+            marks AS (SELECT doc_id, pos FROM win
+                      WHERE w IN (SELECT w FROM win
+                                  GROUP BY w HAVING count(*) >= 2)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN max(pos + 12) OVER prevw IS NULL
+                             OR pos > max(pos + 12) OVER prevw
+                           THEN 1 ELSE 0 END AS newi
+                    FROM marks
+                    WINDOW prevw AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            grp AS (SELECT doc_id, pos,
+                           sum(newi) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS g
+                    FROM isl),
+            spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 12 AS e
+                      FROM grp GROUP BY doc_id, g),
+            agg AS (SELECT doc_id, count(*) AS n_spans,
+                           sum(e - s) AS n_dup
+                    FROM spans GROUP BY doc_id),
+            cov AS (SELECT DISTINCT m.doc_id, m.pos + u AS ti
+                    FROM marks m, unnest(range(0, 12)) AS z(u)),
+            toks AS (SELECT doc_id, i, t[i + 1] AS tk
+                     FROM tok, unnest(range(0, len(t))) AS z(i)),
+            kept AS (SELECT tt.doc_id,
+                            string_agg(tk, ' ' ORDER BY i) AS clean_text
+                     FROM toks tt
+                     ANTI JOIN cov ON tt.doc_id = cov.doc_id
+                                  AND tt.i = cov.ti
+                     GROUP BY tt.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.n_dup, 0) AS n_dup_tokens,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
         """,
     }
 

@@ -352,8 +352,10 @@ def table_queries(spark) -> tuple:
         # pre-fetch URL rules
         "seen_antijoin_cuckoo", "recrawl_invalidate", "url_quality",
         # round-6 session 6: DSIR importance weights (hashed-gram explode
-        # + broadcast LLR join + map-side-combined doc agg)
-        "dsir_weights",
+        # + broadcast LLR join + map-side-combined doc agg) and
+        # ExactSubstr span removal (window explode + count-then-join +
+        # islands merge + native text rebuild)
+        "dsir_weights", "exactsubstr",
     ]
     qs = E.queries()
     times, loads = {}, {}
