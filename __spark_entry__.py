@@ -671,6 +671,32 @@ def q_exactsubstr(spark, sf_dir):
     ).select("doc_id", "n_spans", "n_dup_tokens", "clean_text")
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank frontier priority (Page et al. 1999): 3
+    quantized power iterations over a deterministic host link graph
+    derived from documents (h-hosts link by an affine doc_id rule;
+    every 5th edge targets an x-host that never links out — a dangling
+    family), then quantile priority bands for ``urls_to_frontier``.
+    Per-edge contributions are DECIMAL(20,9)-quantized before the sum,
+    so the unrolled-CTE oracle replays every iteration bit-for-bit."""
+    from httpz_spark.operators.linkrank import host_pagerank, rank_priority
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    src = F.concat(F.lit("h"), (k % 37).cast("string"))
+    dst = F.when(
+        k % 5 == 0, F.concat(F.lit("x"), (k % 11).cast("string"))
+    ).otherwise(F.concat(F.lit("h"), ((k * 7 + 3) % 37).cast("string")))
+    edges = d.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    pr = rank_priority(host_pagerank(edges, damping=0.85, iters=3), bands=8)
+    return pr.select(
+        "host", F.round("rank", 9).alias("rank"),
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1463,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _shipped(q_dsir_weights),
         "dsir_select": _shipped(q_dsir_select),
         "exactsubstr": _shipped(q_exactsubstr),
+        "host_pagerank": _shipped(q_host_pagerank),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2573,10 +2600,64 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN kept k ON d.doc_id = k.doc_id
         """,
+        # host-graph PageRank frontier priority: unrolled 3-iteration
+        # power method (dangling mass + quantized contributions + update
+        # per iteration) and the ntile priority bands
+        "host_pagerank": _pagerank_oracle_sql(),
     }
 
 
 _NORM_DUCK_LOWER = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def _pagerank_oracle_sql(iters: int = 3, d: str = "0.85") -> str:
+    """Unrolled PageRank oracle: the fixture edge graph, then one
+    (dangling-mass, contribution, update) CTE triple per iteration —
+    arithmetic order and DECIMAL quantization mirror
+    operators/linkrank.py exactly."""
+    its = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        its.append(f"""
+            dm{k} AS (SELECT coalesce(sum(rank), 0) AS m
+                      FROM r{p} LEFT JOIN od ON r{p}.host = od.src
+                      WHERE od.src IS NULL),
+            c{k} AS (SELECT e.dst AS dst,
+                            sum(CAST(round(CAST(r.rank AS DOUBLE) / od.odeg,
+                                           9) AS DECIMAL(20,9))) AS s
+                     FROM e JOIN r{p} r ON e.src = r.host
+                          JOIN od ON e.src = od.src
+                     GROUP BY e.dst),
+            r{k} AS (SELECT n.host,
+                            CAST(round(((1 - {d}) / (SELECT n FROM nv)
+                                    + {d} * CAST((SELECT m FROM dm{k})
+                                                 AS DOUBLE)
+                                      / (SELECT n FROM nv))
+                                  + {d} * coalesce(CAST(c.s AS DOUBLE), 0.0),
+                                9) AS DECIMAL(20,9)) AS rank
+                     FROM nodes n LEFT JOIN c{k} c ON n.host = c.dst)""")
+    return f"""
+            WITH
+            e AS (SELECT DISTINCT src, dst FROM (
+                    SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+                           CASE WHEN doc_id % 5 = 0
+                                THEN 'x' || CAST(doc_id % 11 AS VARCHAR)
+                                ELSE 'h' || CAST((doc_id * 7 + 3) % 37
+                                                 AS VARCHAR) END AS dst
+                    FROM documents) WHERE src != dst),
+            nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+            nv AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+            r0 AS (SELECT host,
+                          CAST(round(1.0 / (SELECT n FROM nv), 9)
+                               AS DECIMAL(20,9)) AS rank
+                   FROM nodes),
+            {','.join(its)}
+            SELECT host, round(CAST(rank AS DOUBLE), 9) AS rank,
+                   CAST(ntile(8) OVER (ORDER BY rank DESC, host) - 1
+                        AS BIGINT) AS priority
+            FROM r{iters}
+        """
 
 
 def _dsir_w_cte(buckets: int = 10_000, add_k: float = 1.0) -> str:
