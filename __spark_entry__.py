@@ -697,6 +697,49 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-k corpus search (Robertson; Lucene idf variant):
+    query terms are a literal isin filter on the token explode (no
+    corpus-side join), the |Q|-row idf table broadcasts, per-(doc,term)
+    summands are DECIMAL-quantized, top-k plans as
+    TakeOrderedAndProject."""
+    from httpz_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    top = bm25_topk(d, ["table", "spark", "hash", "join", "scan"], k=100)
+    return top.select(
+        "doc_id", "n_terms_hit", F.round("score", 6).alias("score")
+    )
+
+
+def q_aspect_batches(spark, sf_dir):
+    """Aspect-ratio bucket batching (the diffusion-training image
+    analogue of seq_pack): nearest-ratio bucket via a division-only
+    argmin (no libm — every comparison replays exactly), batches cut
+    per (bucket, md5-shard) so no global sequential dependency.  Image
+    meta derived deterministically from documents."""
+    from httpz_spark.operators.curation import aspect_bucket_batches
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    imgs = d.select(
+        F.concat(F.lit("img"), F.lpad(k.cast("string"), 4, "0")).alias(
+            "image_id"
+        ),
+        ((k % 1024) + 32).cast("int").alias("w"),
+        (((k * 7 + 11) % 1024) + 32).cast("int").alias("h"),
+    )
+    out = aspect_bucket_batches(imgs, batch=8, n_shards=4)
+    return out.select(
+        "image_id",
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.col("bucket_w").cast("long").alias("bucket_w"),
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1490,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _shipped(q_dsir_select),
         "exactsubstr": _shipped(q_exactsubstr),
         "host_pagerank": _shipped(q_host_pagerank),
+        "bm25": _shipped(q_bm25),
+        "aspect_batches": _shipped(q_aspect_batches),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2604,6 +2649,79 @@ def oracle_sql() -> dict[str, str]:
         # power method (dangling mass + quantized contributions + update
         # per iteration) and the ntile priority bands
         "host_pagerank": _pagerank_oracle_sql(),
+        # Okapi BM25 (Lucene idf): per-(doc,term) summands quantized to
+        # DECIMAL(20,9); N/avgdl scalars, idf, saturation and length
+        # normalization replayed in the engine's exact operation order
+        "bm25": f"""
+            WITH
+            tok AS (SELECT doc_id,
+                      CASE WHEN norm = '' THEN []
+                           ELSE string_split(norm, ' ') END AS t
+                    FROM (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm
+                          FROM documents)),
+            dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM dl),
+            hits AS (SELECT doc_id, tk AS tok, count(*) AS tf,
+                            max(dl) AS dl
+                     FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tk
+                           FROM tok)
+                     WHERE tk IN ('table', 'spark', 'hash', 'join', 'scan')
+                     GROUP BY doc_id, tk),
+            idf AS (SELECT tok,
+                           ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE)
+                                     - df + 0.5) / (df + 0.5)) AS idf
+                    FROM (SELECT tok, count(DISTINCT doc_id) AS df
+                          FROM hits GROUP BY tok)),
+            sc AS (SELECT h.doc_id,
+                          CAST(round(i.idf * (h.tf * (1.2 + 1.0))
+                                 / (h.tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * h.dl
+                                        / (SELECT avgdl FROM stats))),
+                               9) AS DECIMAL(20,9)) AS s
+                   FROM hits h JOIN idf i ON h.tok = i.tok),
+            agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+                           CAST(sum(s) AS DOUBLE) AS score
+                    FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_terms_hit, round(score, 6) AS score
+            FROM agg
+            ORDER BY round(score, 6) DESC, doc_id
+            LIMIT 100
+        """,
+        # aspect-ratio bucket batching: nearest-ratio argmin (division
+        # only), md5-prefix shards, per-(bucket, shard) batch cut
+        "aspect_batches": """
+            WITH
+            imgs AS (SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                              AS image_id,
+                            (doc_id % 1024) + 32 AS w,
+                            ((doc_id * 7 + 11) % 1024) + 32 AS h
+                     FROM documents),
+            bks(i, bw, bh) AS (VALUES
+              (0, 1, 1), (1, 4, 3), (2, 3, 4), (3, 3, 2), (4, 2, 3),
+              (5, 16, 9), (6, 9, 16), (7, 2, 1), (8, 1, 2)),
+            cand AS (SELECT image_id, w, h, i, bw, bh,
+                            abs(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)
+                                - CAST(bw AS DOUBLE) / CAST(bh AS DOUBLE))
+                              AS d
+                     FROM imgs CROSS JOIN bks),
+            pick AS (SELECT image_id, i AS bucket_idx, bw, bh
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY image_id ORDER BY d, i) AS rn
+                           FROM cand)
+                     WHERE rn = 1),
+            sh AS (SELECT image_id, bucket_idx, bw, bh,
+                          (('0x' || substr(md5(image_id), 1, 13))::BIGINT)
+                            % 4 AS shard
+                   FROM pick)
+            SELECT image_id, bucket_idx,
+                   bw AS bucket_w, bh AS bucket_h, shard,
+                   CAST(floor((row_number() OVER (
+                       PARTITION BY bucket_idx, shard ORDER BY image_id)
+                       - 1) / 8) AS BIGINT) AS batch_id
+            FROM sh
+        """,
     }
 
 

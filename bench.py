@@ -355,7 +355,7 @@ def table_queries(spark) -> tuple:
         # + broadcast LLR join + map-side-combined doc agg) and
         # ExactSubstr span removal (window explode + count-then-join +
         # islands merge + native text rebuild)
-        "dsir_weights", "exactsubstr",
+        "dsir_weights", "exactsubstr", "bm25",
     ]
     qs = E.queries()
     times, loads = {}, {}

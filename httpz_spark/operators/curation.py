@@ -295,3 +295,74 @@ def url_quality_signals(
         & (F.col("url_word_score") < F.lit(float(max_word_score)))
     )
     return out.withColumn("url_keep", keep)
+
+
+# default aspect buckets: the SD/LAION training ladder (w:h ratios)
+ASPECT_BUCKETS = [
+    (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16), (2, 1), (1, 2),
+]
+
+
+def aspect_bucket_batches(
+    imgs: DataFrame,
+    batch: int = 64,
+    n_shards: int = 16,
+    buckets: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing — the image-training analogue of
+    :func:`seq_pack` (diffusion/LAION pipelines batch images of like
+    aspect so a batch shares one resize target instead of square-crop
+    mutilation): every image goes to the bucket whose ``bw:bh`` ratio
+    is nearest ``w/h`` (absolute ratio difference, first-listed bucket
+    wins ties), then batches of ``batch`` are cut per (bucket, shard).
+
+    Returns ``(id_col, bucket_idx, bucket_w, bucket_h, shard,
+    batch_id)``.  Scale shape mirrors seq_pack: the batch cut has NO
+    global sequential dependency — shard = md5-prefix of the id mod
+    ``n_shards`` (the cross-engine 52-bit contract, string-id-safe), so
+    each (bucket, shard) packs independently and a window sorts only
+    its own slice.  Bucket assignment itself is a map-only expression
+    over a literal struct array (argmin via one array_sort — division
+    only, no libm, so the oracle replays every comparison exactly).
+    """
+    bks = list(ASPECT_BUCKETS if buckets is None else buckets)
+    if batch < 1 or n_shards < 1 or not bks:
+        raise ValueError(
+            f"batch/n_shards must be >= 1 and buckets non-empty: "
+            f"{batch}, {n_shards}, {bks}"
+        )
+    r = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(r - F.lit(float(bw)) / F.lit(float(bh))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(bks)
+        ]
+    )
+    best = F.element_at(F.array_sort(cands), 1)["i"]
+    from httpz_spark.operators.dsir import _md5_int52
+
+    shard = F.pmod(_md5_int52(F.col(id_col).cast("string")), F.lit(n_shards))
+    assigned = imgs.select(
+        F.col(id_col),
+        best.alias("bucket_idx"),
+        shard.cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket_idx", "shard").orderBy(id_col)
+    bw_arr = F.array(*[F.lit(bw) for bw, _ in bks])
+    bh_arr = F.array(*[F.lit(bh) for _, bh in bks])
+    return assigned.select(
+        id_col,
+        "bucket_idx",
+        F.element_at(bw_arr, F.col("bucket_idx") + 1).alias("bucket_w"),
+        F.element_at(bh_arr, F.col("bucket_idx") + 1).alias("bucket_h"),
+        "shard",
+        F.floor((F.row_number().over(w) - 1) / batch)
+        .cast("long")
+        .alias("batch_id"),
+    )
