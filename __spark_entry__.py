@@ -2600,9 +2600,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT doc_id, {_NORM_DUCK_LOWER} AS norm
                          FROM documents)),
             tok AS (SELECT doc_id,
-                      CASE WHEN text = '' THEN []
-                           ELSE string_split(text, ' ') END AS t
-                    FROM fx),
+                      CASE WHEN nn = '' THEN []
+                           ELSE string_split(nn, ' ') END AS t
+                    FROM (SELECT doc_id,
+                            trim(regexp_replace(text,
+                              '[ \\t\\n\\r\\f]+', ' ', 'g')) AS nn
+                          FROM fx)),
             win AS (SELECT doc_id, i AS pos,
                            array_to_string(
                              list_slice(t, i + 1, i + 12), ' ') AS w
@@ -2732,7 +2735,11 @@ def _pagerank_oracle_sql(iters: int = 3, d: str = "0.85") -> str:
     """Unrolled PageRank oracle: the fixture edge graph, then one
     (dangling-mass, contribution, update) CTE triple per iteration —
     arithmetic order and DECIMAL quantization mirror
-    operators/linkrank.py exactly."""
+    operators/linkrank.py exactly.  Every float literal is CAST to
+    DOUBLE: bare DuckDB literals are DECIMAL, and exact decimal
+    arithmetic like (1 - 0.85)/n diverges from the engine's Python
+    IEEE base term by ~1e-18 — enough to flip a round-half boundary."""
+    dd = f"CAST({d} AS DOUBLE)"
     its = []
     for k in range(1, iters + 1):
         p = k - 1
@@ -2747,11 +2754,13 @@ def _pagerank_oracle_sql(iters: int = 3, d: str = "0.85") -> str:
                           JOIN od ON e.src = od.src
                      GROUP BY e.dst),
             r{k} AS (SELECT n.host,
-                            CAST(round(((1 - {d}) / (SELECT n FROM nv)
-                                    + {d} * CAST((SELECT m FROM dm{k})
-                                                 AS DOUBLE)
+                            CAST(round(((CAST(1.0 AS DOUBLE) - {dd})
+                                      / (SELECT n FROM nv)
+                                    + {dd} * CAST((SELECT m FROM dm{k})
+                                                  AS DOUBLE)
                                       / (SELECT n FROM nv))
-                                  + {d} * coalesce(CAST(c.s AS DOUBLE), 0.0),
+                                  + {dd} * coalesce(CAST(c.s AS DOUBLE),
+                                                    CAST(0.0 AS DOUBLE)),
                                 9) AS DECIMAL(20,9)) AS rank
                      FROM nodes n LEFT JOIN c{k} c ON n.host = c.dst)""")
     return f"""
@@ -2767,7 +2776,8 @@ def _pagerank_oracle_sql(iters: int = 3, d: str = "0.85") -> str:
             nv AS (SELECT count(*) AS n FROM nodes),
             od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
             r0 AS (SELECT host,
-                          CAST(round(1.0 / (SELECT n FROM nv), 9)
+                          CAST(round(CAST(1.0 AS DOUBLE)
+                                     / (SELECT n FROM nv), 9)
                                AS DECIMAL(20,9)) AS rank
                    FROM nodes),
             {','.join(its)}

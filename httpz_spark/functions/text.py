@@ -35,6 +35,19 @@ def normalize_ws_ascii(c: Column) -> Column:
     return F.trim(F.regexp_replace(c, "[ \t\n\r\f]+", " "))
 
 
+def tokens_of(c: Column) -> Column:
+    """Empty-safe word tokens of the lowered, whitespace-normalized
+    text: ``[]`` for blank input (``split('')`` would yield ``['']``).
+    THE tokenization substrate shared by the text-pipeline operators
+    (dedup shingles, lmfilter, dsir, search, exactsubstr) — every
+    DuckDB oracle replays exactly this expression, so tokenization
+    changes must happen here, once."""
+    norm = normalize_ws_ascii(F.lower(c))
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
 def truncate_chars(c: Column, n: int) -> Column:
     """First n characters (reference caps titles/body_clean at 1024 chars,
     parsers.py:100,146)."""

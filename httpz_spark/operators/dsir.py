@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from httpz_spark.functions.text import normalize_ws_ascii
+from httpz_spark.functions.text import tokens_of as _tokens
 
 #: 2^52 — one more than the max value of a 13-hex-char md5 prefix.
 _MD5_SPAN = float(1 << 52)
@@ -60,13 +60,6 @@ def _md5_int52(s: Column) -> Column:
     """First 52 bits of md5(s) as a non-negative BIGINT (exact — fits a
     double and a DuckDB BIGINT cast alike)."""
     return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
-
-
-def _tokens(text: Column) -> Column:
-    norm = normalize_ws_ascii(F.lower(text))
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
 
 
 def hashed_ngram_features(
@@ -146,6 +139,7 @@ def dsir_logweights(
     buckets: int = 10_000,
     add_k: float = 1.0,
     broadcast_llr: bool = True,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weights: ``(id_col, n_feats,
     log_w)`` where ``n_feats`` is the total hashed-gram count and
@@ -154,9 +148,18 @@ def dsir_logweights(
     one-pass left join (no union+anti double evaluation).
 
     ``raw_docs`` defaults to ``docs`` itself — the paper fits q on the
-    raw corpus being selected from."""
+    raw corpus being selected from.
+
+    Cost shape: fit + score = TWO evaluations of the corpus gram
+    explode (the q-fit collect is one action, the scoring join
+    another; nothing is persisted implicitly).  Callers who can afford
+    the storage pass a precomputed/persisted feature frame via
+    ``feats`` (``hashed_ngram_features(docs, ...)`` — the same
+    ``shingles=`` escape hatch minhash_signatures offers), reducing the
+    heavy explode to ONE evaluation."""
     raw = docs if raw_docs is None else raw_docs
-    feats = hashed_ngram_features(docs, text_col, id_col, buckets)
+    if feats is None:
+        feats = hashed_ngram_features(docs, text_col, id_col, buckets)
     tfeats = hashed_ngram_features(target_docs, text_col, id_col, buckets)
     rfeats = (
         feats if raw is docs

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from httpz_spark.operators.dedup import normalized_text
+from httpz_spark.functions.text import tokens_of
 
 
 def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -53,11 +53,9 @@ def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lambdas reference a column attribute (Catalyst re-evaluates outer
     expressions inside lambda bodies per element; a projected column is
     free)."""
-    norm = normalized_text(F.col(text_col))
-    t = F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
+    return docs.select(
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("t")
     )
-    return docs.select(F.col(id_col).alias("id"), t.alias("t"))
 
 
 def token_windows(

@@ -77,8 +77,16 @@ def host_pagerank(
     if n == 0:
         release_local_checkpoint(e)
         release_local_checkpoint(nodes)
-        return nodes.select("host", F.lit(0.0).alias("rank"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+        # a fresh empty frame — never derive the result from released
+        # checkpoint blocks (they cannot be recomputed)
+        return edges.sparkSession.createDataFrame(
+            [], "host string, rank double"
+        )
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("odeg"))
+        .localCheckpoint(eager=True)
+    )
     d = float(damping)
     rank = nodes.select(
         "host", F.round(F.lit(1.0 / n), 9).cast("decimal(20,9)").alias("rank")
@@ -121,8 +129,12 @@ def host_pagerank(
         )
         release_local_checkpoint(rank)
         rank = new_rank
+    # the final eager rank checkpoint is the only storage left pinned
+    # (it IS the result); everything intermediate is released
     out = rank.select("host", F.col("rank").cast("double").alias("rank"))
     release_local_checkpoint(e)
+    release_local_checkpoint(nodes)
+    release_local_checkpoint(outdeg)
     return out
 
 

@@ -37,19 +37,12 @@ is a training-data-pipeline operator (SURVEY.md §2 training-data family).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from httpz_spark.functions.text import normalize_ws_ascii
+from httpz_spark.functions.text import tokens_of as _tokens
 
 BOS = "<s>"
-
-
-def _tokens(text: Column) -> Column:
-    norm = normalize_ws_ascii(F.lower(text))
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
 
 
 def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -29,17 +29,10 @@ training-data / corpus-analytics operator (SURVEY.md §2 family).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from httpz_spark.operators.dedup import normalized_text
-
-
-def _tokens(text: Column) -> Column:
-    norm = normalized_text(text)
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
+from httpz_spark.functions.text import tokens_of as _tokens
 
 
 def bm25_scores(
@@ -57,9 +50,12 @@ def bm25_scores(
     tok = docs.select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
     ).select("id", F.size("t").alias("dl"), "t")
-    n_docs = docs.count()
-    total_dl = tok.agg(F.sum("dl")).collect()[0][0] or 0
-    avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    # one action for both corpus scalars (every tok row is one doc)
+    stats = tok.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tdl")
+    ).collect()[0]
+    n_docs = stats["n"]
+    avgdl = float(stats["tdl"] or 0) / n_docs if n_docs else 0.0
 
     hits = (
         tok.select("id", "dl", F.explode("t").alias("tok"))
@@ -67,7 +63,8 @@ def bm25_scores(
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = hits.groupBy("tok").agg(F.count_distinct("id").alias("df"))
+    # hits is already unique per (id, tok): plain count IS the doc freq
+    dfreq = hits.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.broadcast(
         dfreq.select(
             "tok",

@@ -29,13 +29,14 @@ def test_bucket_assignment(spark):
 
 
 def test_tie_breaks_to_first_listed(spark):
-    # ratio exactly between 1:1 and 4:3 -> equidistant in ratio space
-    # only for a contrived value; instead pin determinism: same input
-    # twice gives identical assignment
-    rows = [("a", 7, 6), ("b", 7, 6)]
-    out = {r["image_id"]: r["bucket_idx"]
-           for r in aspect_bucket_batches(_imgs(spark, rows), batch=4).collect()}
-    assert out["a"] == out["b"]
+    # w=2, h=1 against buckets [(1,1), (3,1)]: |2.0 - 1.0| == |2.0 - 3.0|
+    # exactly in doubles -> the FIRST-listed bucket must win
+    rows = [("a", 2, 1)]
+    out = aspect_bucket_batches(
+        _imgs(spark, rows), batch=4, buckets=[(1, 1), (3, 1)]
+    ).collect()
+    assert out[0]["bucket_idx"] == 0
+    assert (out[0]["bucket_w"], out[0]["bucket_h"]) == (1, 1)
 
 
 def test_batches_cut_per_bucket_shard(spark):

@@ -42,7 +42,8 @@ def test_clean_removes_all_occurrences(spark):
     assert out[4]["clean_text"] == "fin"
     assert out[4]["n_spans"] == 1 and out[4]["n_dup_tokens"] == 10
     # short and empty docs produce no windows
-    assert out[5] == out[5] and out[5]["clean_text"] == "short"
+    assert out[5]["n_spans"] == 0 and out[5]["n_dup_tokens"] == 0
+    assert out[5]["clean_text"] == "short"
     assert out[6]["clean_text"] == "" and out[6]["n_spans"] == 0
 
 
