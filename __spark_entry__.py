@@ -740,6 +740,21 @@ def q_aspect_batches(spark, sf_dir):
     )
 
 
+def q_mixture(spark, sf_dir):
+    """Data-mixture epoch manifest (the LLaMA/Pile source table):
+    weighted sources upsample/downsample to their target token share by
+    per-doc repetition — base epochs + a deterministic md5-Bernoulli
+    fractional copy.  ONE aggregation pass for the per-source totals,
+    then a pure map with the broadcast |sources|-row factor table; no
+    window, no per-source global sort."""
+    from httpz_spark.operators.mixture import mixture_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 0.5,
+               "src4": 0.0}
+    return mixture_manifest(d, weights, token_budget=6000)
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1535,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _shipped(q_host_pagerank),
         "bm25": _shipped(q_bm25),
         "aspect_batches": _shipped(q_aspect_batches),
+        "mixture": _shipped(q_mixture),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -2647,6 +2663,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN kept k ON d.doc_id = k.doc_id
+        """,
+        # data-mixture epoch manifest: per-source token totals, epoch
+        # factor arithmetic in the engine's exact operation order (every
+        # float literal CAST to DOUBLE), md5-Bernoulli fractional copy
+        "mixture": f"""
+            WITH
+            d AS (SELECT doc_id, source,
+                    CASE WHEN nn = '' THEN 0
+                         ELSE len(string_split(nn, ' ')) END AS n_tokens
+                  FROM (SELECT doc_id, source, {_NORM_DUCK} AS nn
+                        FROM documents)),
+            w(source, wt) AS (VALUES
+              ('src0', CAST(4.0 AS DOUBLE)), ('src1', CAST(2.0 AS DOUBLE)),
+              ('src2', CAST(1.0 AS DOUBLE)), ('src3', CAST(0.5 AS DOUBLE)),
+              ('src4', CAST(0.0 AS DOUBLE))),
+            fac AS (SELECT source,
+                           CAST(floor((6000 * wt / CAST(7.5 AS DOUBLE)) / a)
+                                AS INT) AS base_copies,
+                           (6000 * wt / CAST(7.5 AS DOUBLE)) / a
+                             - floor((6000 * wt / CAST(7.5 AS DOUBLE)) / a)
+                             AS frac
+                    FROM (SELECT d.source, sum(d.n_tokens) AS a,
+                                 coalesce(max(w.wt), CAST(0.0 AS DOUBLE))
+                                   AS wt
+                          FROM d LEFT JOIN w ON d.source = w.source
+                          GROUP BY d.source)),
+            m AS (SELECT d.doc_id, d.source,
+                         CAST(d.n_tokens AS BIGINT) AS n_tokens,
+                         CAST(f.base_copies
+                              + CASE WHEN ((('0x' || substr(md5('mix:'
+                                      || CAST(d.doc_id AS VARCHAR)), 1, 13))
+                                      ::BIGINT) + 0.5) / 4503599627370496.0
+                                     < f.frac
+                                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                  FROM d JOIN fac f USING (source))
+            SELECT doc_id, source, n_tokens, n_copies
+            FROM m WHERE n_copies >= 1
         """,
         # host-graph PageRank frontier priority: unrolled 3-iteration
         # power method (dangling mass + quantized contributions + update
