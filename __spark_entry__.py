@@ -755,6 +755,20 @@ def q_mixture(spark, sf_dir):
     return mixture_manifest(d, weights, token_budget=6000)
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Real trained-BPE token accounting (Sennrich et al. 2016): merges
+    learned on this corpus's bounded word-frequency dict (one corpus
+    pass), segmentation Arrow-batched over the DISTINCT-word table
+    only, per-doc counts via broadcast join + one map-side-combined
+    sum.  Golden oracle: an independent pure-python model with the
+    alternative (equivalent) in-learned-order merge application."""
+    from httpz_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=60)
+    return bpe_token_counts(d, merges)
+
+
 def q_training_shard_curated(spark, sf_dir):
     # the END-TO-END curated capstone: near-dup dedup + eval decontam +
     # quality gate (the decontam manifest) -> per-domain quota sampling
@@ -1551,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _shipped(q_bm25),
         "aspect_batches": _shipped(q_aspect_batches),
         "mixture": _shipped(q_mixture),
+        "bpe_tokens": _shipped(q_bpe_tokens),
         # golden-file-oracled (murmur3/xxhash64 kernels, fabric, iterative
         # state — independent driver-side recompute, scripts/make_goldens.py)
         "minhash_lsh_dups": _shipped(q_minhash_lsh_dups),
@@ -1696,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # golden-file oracles (murmur3/xxhash64 kernels, fabric, iterative
         # wave state — DuckDB lacks the kernels; see scripts/make_goldens.py)
+        "bpe_tokens": _golden_sql("bpe_tokens", "doc_id, n_words, n_bpe_tokens"),
         "minhash_lsh_dups": _golden_sql("minhash_lsh_dups", "a, b, jaccard"),
         "simhash_near_dups": _golden_sql("simhash_near_dups", "a, b, hamming"),
         "embedding_near_dups": _golden_sql("embedding_near_dups", "a, b, cos_sim"),

@@ -1362,6 +1362,84 @@ def golden_revalidate_wave():
     }))
 
 
+
+
+# ---------------------------------------------------------------------------
+# bpe_tokens — independent BPE model: Counter-based training, exhaustive
+# in-learned-order merge application (vs the engine's min-rank-first loop;
+# the two application orders are equivalent, so this is a real cross-check)
+# ---------------------------------------------------------------------------
+def golden_bpe(num_merges=60):
+    from collections import Counter
+
+    docs = load_documents()
+    per_doc = []
+    freqs = Counter()
+    for doc_id, text in docs:
+        norm = normalized_lower(text)
+        words = norm.split(" ") if norm else []
+        per_doc.append((doc_id, words))
+        freqs.update(words)
+
+    vocab = {w: tuple(w) + ("</w>",) for w in freqs}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, n in freqs.items():
+            s = vocab[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < 2:
+            break
+        pair = min(p for p, n in pc.items() if n == top)
+        merges.append(pair)
+        a, b = pair
+        nv = {}
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nv[w] = tuple(out)
+        vocab = nv
+
+    def seg_len(word):
+        s = list(word) + ["</w>"]
+        for a, b in merges:  # exhaustive application in learned order
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    cache = {}
+    rows = []
+    for doc_id, words in per_doc:
+        nb = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = seg_len(w)
+            nb += cache[w]
+        rows.append((doc_id, len(words), nb))
+    write_golden("bpe_tokens", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_words": pa.array([r[1] for r in rows], pa.int64()),
+        "n_bpe_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
 GOLDENS = {
     "image_table": golden_image_table,
     "revalidate_wave": golden_revalidate_wave,
@@ -1384,6 +1462,7 @@ GOLDENS = {
     "pq_ann_topk_256": golden_pq_ann_topk_256,
     "ivfpq_ann_topk": golden_ivfpq_ann_topk,
     "ivfpq_ann_topk_residual": golden_ivfpq_ann_topk_residual,
+    "bpe_tokens": golden_bpe,
 }
 
 
