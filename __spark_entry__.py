@@ -837,6 +837,19 @@ def q_seq_pack(spark, sf_dir):
         "shard", "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc")
 
 
+def q_weighted_sample(spark, sf_dir):
+    # weighted sampling WITHOUT replacement, P ∝ doc length (Efraimidis-
+    # Spirakis via Gumbel-top-k with hash-derived noise — deterministic,
+    # partitioning-independent, plans as TakeOrderedAndProject).  REAL
+    # SQL oracle replays ln(w) + the md5-derived Gumbel in DuckDB.
+    from httpz_spark.operators.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("weight"))
+    return weighted_sample(d, k=120, weight_col="weight").select(
+        "doc_id", "weight", "sample_score")
+
+
 def q_image_pair_filter(spark, sf_dir):
     # IMAGE axis: LAION/DataComp-style image+caption gate battery over a
     # deterministic image-meta frame derived from documents (the decode
@@ -1550,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _shipped(q_pii_scrub),
         "domain_mix": _shipped(q_domain_mix),
         "seq_pack": _shipped(q_seq_pack),
+        "weighted_sample": _shipped(q_weighted_sample),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -2107,6 +2121,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM b GROUP BY shard, bin_id
+        """,
+        # Efraimidis-Spirakis weighted sample: top-120 of
+        # ln(weight) + Gumbel, with the identical md5-derived noise
+        # u = (md5_52('wsample:' || doc_id) + 0.5) / 2^52 replayed in
+        # DuckDB, so the sampled SET and every score match exactly
+        "weighted_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+                   round(ln(CAST(length(text) AS DOUBLE))
+                         + -(ln(-ln(((('0x' || substr(md5('wsample:'
+                                || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)
+                                + 0.5) / 4503599627370496.0))),
+                         6) AS sample_score
+            FROM documents
+            WHERE length(text) > 0
+            ORDER BY sample_score DESC, doc_id
+            LIMIT 120
         """,
         # cap_tokens re-trims the 160-char cut (token_count normalizes its
         # input again Spark-side, so a trailing cut-space never counts)

@@ -131,6 +131,40 @@ def seq_pack(df: DataFrame, text_col: str = "text",
                  F.max(key_col).alias("last_doc")))
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    seed: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, P ∝ weight — the corpus
+    subsampler every mixture/curriculum recipe needs (take k docs
+    favouring length/quality/importance).  Efraimidis & Spirakis (2006)
+    via the Gumbel-top-k identity: top-k of ``ln(w) + Gumbel`` is an
+    exact weighted sample, and the Gumbel noise is hash-derived
+    (:func:`httpz_spark.operators.dsir.gumbel_key` — md5-seeded
+    uniforms), so the selection is deterministic, partitioning-
+    independent, exactly resumable, and SQL-replayable.
+
+    Scale shape: adds one map-only scored column and plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge; no global sort shuffle, no RNG state.  Rows with
+    weight <= 0 or NULL are never selected (P = 0).
+
+    Returns the input columns plus ``sample_score`` (round-6 double),
+    highest score first.
+    """
+    from httpz_spark.operators.dsir import gumbel_key
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = F.col(weight_col).cast("double")
+    score = gumbel_key(F.col(id_col), F.log(w), seed)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select("*", score.alias("sample_score"))
+        .orderBy(F.col("sample_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def corpus_report(df: DataFrame, text_col: str = "text",
                   keep_quality: float = 0.5) -> DataFrame:
     """One-pass corpus curation report: per predicted language, doc and

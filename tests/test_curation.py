@@ -326,3 +326,70 @@ def test_url_quality_composes_with_frontier(spark):
     fr = urls_to_frontier(kept, "raw", depth=0, wave_id=0)
     assert [(r["host"], r["path"]) for r in fr.select("host", "path").collect()] \
         == [("ok.example", "/a")]
+
+
+# -------------------------------------------------------- weighted_sample
+
+def test_weighted_sample_exact_brute_force_match(spark):
+    # the Gumbel noise is hash-derived, so the selected set and scores
+    # must equal a driver-side brute-force replay of the same formula
+    import hashlib
+    import math
+
+    from httpz_spark.operators.curation import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    out = weighted_sample(df, k=10, weight_col="weight").collect()
+
+    def score(i, w):
+        u = (int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:13], 16)
+             + 0.5) / float(1 << 52)
+        return round(math.log(w) + -math.log(-math.log(u)), 6)
+
+    expect = sorted(((score(i, w), i, w) for i, w in rows),
+                    key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["sample_score"], r["doc_id"], r["weight"]) for r in out] \
+        == expect
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from httpz_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -3.0), (4, None), (5, 2.0)],
+        "doc_id long, weight double",
+    )
+    out = weighted_sample(df, k=10, weight_col="weight")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+
+
+def test_weighted_sample_partitioning_independent(spark):
+    from httpz_spark.operators.curation import weighted_sample
+
+    rows = [(i, float(i % 9 + 1)) for i in range(100)]
+    df1 = spark.createDataFrame(rows, "doc_id long, weight double")
+    df8 = df1.repartition(8)
+    got1 = [r["doc_id"] for r in weighted_sample(df1, 7, "weight").collect()]
+    got8 = [r["doc_id"] for r in weighted_sample(df8, 7, "weight").collect()]
+    assert got1 == got8
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from httpz_spark.operators.curation import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1.0).alias("weight"))
+    plan = weighted_sample(df, 5, "weight")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    from httpz_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, weight double")
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="weight")
