@@ -321,6 +321,63 @@ def q_domain_parse(spark, sf_dir):
     )
 
 
+def _warc_fixture(spark, sf_dir):
+    # deterministic capture corpus for the WARC/SURT/CDX queries: urls
+    # exercising www-strip, non-default port and query-sort; dates,
+    # statuses and mime varied; body = the document text as bytes
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (k % 13).cast("string"), F.lit(".example"),
+        F.when(k % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/d/"), k.cast("string"),
+        F.when(k % 4 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    date = F.concat(F.lit("2026-01-"),
+                    F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+                    F.lit("T00:00:00Z"))
+    status = (F.when(k % 9 == 0, 404).when(k % 7 == 0, 301)
+              .otherwise(200))
+    mime = F.when(k % 2 == 0, F.lit("text/html")).otherwise(F.lit("text/plain"))
+    return d.select("doc_id", url.alias("url"), date.alias("date"),
+                    status.alias("status"), mime.alias("mime"),
+                    F.encode(F.col("text"), "UTF-8").alias("body"))
+
+
+def q_warc_records(spark, sf_dir):
+    # ISO 28500 WARC response-record framing (functions/warcx.warc_record)
+    # as one native binary expression; the oracle rebuilds the record
+    # byte-for-byte in SQL and must md5-match
+    from httpz_spark.functions.warcx import warc_record
+
+    d = _warc_fixture(spark, sf_dir)
+    rec = warc_record(F.col("url"), F.col("date"), F.col("status"),
+                      F.col("mime"), F.col("body"))
+    return d.select(
+        "doc_id", F.col("url").alias("target_uri"),
+        F.octet_length(rec).cast("long").alias("record_len"),
+        F.md5(rec).alias("record_md5"))
+
+
+def q_surt_cdx(spark, sf_dir):
+    # SURT keys + CDX byte offsets: surt_key native decomposition and
+    # cdx_offsets' per-file window cumsum over real record lengths
+    from httpz_spark.functions.warcx import cdx_offsets, surt_key, warc_record
+
+    d = _warc_fixture(spark, sf_dir)
+    rec = warc_record(F.col("url"), F.col("date"), F.col("status"),
+                      F.col("mime"), F.col("body"))
+    frame = d.select(
+        "doc_id", "url", surt_key(F.col("url")).alias("surt"),
+        F.concat(F.lit("part-0000"),
+                 (F.col("doc_id") % 3).cast("string")).alias("warc_file"),
+        F.octet_length(rec).cast("long").alias("record_length"))
+    return cdx_offsets(frame).select(
+        "doc_id", "url", "surt", "warc_file", "offset", "record_length")
+
+
 def q_human_size(spark, sf_dir):
     # A30: utils.py:86-104 human_size over synthesized byte counts spanning
     # all four units + the falsy '0B' branch
@@ -1564,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _shipped(q_domain_mix),
         "seq_pack": _shipped(q_seq_pack),
         "weighted_sample": _shipped(q_weighted_sample),
+        "warc_records": _shipped(q_warc_records),
+        "surt_cdx": _shipped(q_surt_cdx),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -1656,6 +1715,60 @@ _TRAP_TPL_CTES = """
                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
                          '[?#].*$', '') AS p
               FROM f))
+"""
+
+
+# shared CTE for the WARC queries: rebuild _warc_fixture's capture frame
+# AND functions/warcx.warc_record's ISO 28500 framing byte-for-byte in
+# DuckDB (E'' escape strings carry the CRLFs; md5 over VARCHAR hashes the
+# UTF-8 bytes exactly like Spark's md5 over the encoded binary record)
+_WARC_REC_CTE = """
+    WITH src AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+               || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+               || '/d/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+             '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || 'T00:00:00Z' AS dt,
+             CASE WHEN doc_id % 9 = 0 THEN 404
+                  WHEN doc_id % 7 = 0 THEN 301 ELSE 200 END AS status,
+             CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                  ELSE 'text/plain' END AS mime,
+             text AS body
+      FROM documents),
+    parts AS (
+      SELECT *,
+             md5(url || chr(10) || dt) AS uh,
+             'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' '
+               || CASE status WHEN 200 THEN 'OK'
+                              WHEN 301 THEN 'Moved Permanently'
+                              WHEN 404 THEN 'Not Found' END || E'\\r\\n'
+               || 'Content-Type: ' || mime || E'\\r\\n'
+               || 'Content-Length: '
+               || CAST(octet_length(encode(body)) AS VARCHAR)
+               || E'\\r\\n\\r\\n' AS http_head
+      FROM src),
+    rec AS (
+      SELECT doc_id, url, dt, status, mime,
+             'WARC/1.0' || E'\\r\\n'
+               || 'WARC-Type: response' || E'\\r\\n'
+               || 'WARC-Record-ID: <urn:uuid:'
+               || substr(uh, 1, 8) || '-' || substr(uh, 9, 4) || '-'
+               || substr(uh, 13, 4) || '-' || substr(uh, 17, 4) || '-'
+               || substr(uh, 21, 12) || '>' || E'\\r\\n'
+               || 'WARC-Date: ' || dt || E'\\r\\n'
+               || 'WARC-Target-URI: ' || url || E'\\r\\n'
+               || 'WARC-Payload-Digest: md5:' || md5(body) || E'\\r\\n'
+               || 'Content-Type: application/http;msgtype=response'
+               || E'\\r\\n'
+               || 'Content-Length: '
+               || CAST(octet_length(encode(http_head))
+                       + octet_length(encode(body)) AS VARCHAR)
+               || E'\\r\\n\\r\\n'
+               || http_head || body || E'\\r\\n\\r\\n' AS record
+      FROM parts)
 """
 
 
@@ -2137,6 +2250,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) > 0
             ORDER BY sample_score DESC, doc_id
             LIMIT 120
+        """,
+        # ISO 28500 framing replayed byte-for-byte in SQL (E'' escape
+        # strings carry the CRLFs; octet_length(encode()) counts BYTES
+        # exactly like Spark's octet_length over the binary record)
+        "warc_records": f"""
+            {_WARC_REC_CTE}
+            SELECT doc_id, url AS target_uri,
+                   CAST(octet_length(encode(record)) AS BIGINT) AS record_len,
+                   md5(record) AS record_md5
+            FROM rec
+        """,
+        # SURT replayed on the derived urls (www stripped, :8080 kept,
+        # query sorted) + the CDX cumsum window per file
+        "surt_cdx": f"""
+            {_WARC_REC_CTE}
+            , cdx AS (
+              SELECT doc_id, url,
+                     'example,h' || (doc_id % 13)
+                     || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+                     || ')/d/' || doc_id
+                     || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END
+                       AS surt,
+                     'part-0000' || (doc_id % 3) AS warc_file,
+                     CAST(octet_length(encode(record)) AS BIGINT)
+                       AS record_length
+              FROM rec
+            )
+            SELECT doc_id, url, surt, warc_file,
+                   CAST(SUM(record_length) OVER (
+                        PARTITION BY warc_file ORDER BY surt, url
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - record_length AS BIGINT) AS offset,
+                   record_length
+            FROM cdx
         """,
         # cap_tokens re-trims the 160-char cut (token_count normalizes its
         # input again Spark-side, so a trailing cut-space never counts)

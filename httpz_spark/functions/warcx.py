@@ -1,0 +1,174 @@
+"""WARC / SURT / CDX column expressions — all native Spark SQL functions.
+
+The crawl-archive interchange layer every web-scale pipeline needs
+(Common Crawl ships exactly this trio):
+
+* :func:`surt_key` — Sort-friendly URI Reordering Transform (the
+  Heritrix/pywb public convention): reversed comma-joined host + ``)`` +
+  lowercased path + sorted query.  CDX indexes sort on this key so one
+  host's captures are contiguous — the merge/lookup locality property.
+* :func:`warc_record` — a complete WARC/1.0 ``response`` record
+  (ISO 28500 framing: WARC header block, ``application/http`` payload
+  with a reconstructed HTTP/1.1 status line, double-CRLF trailer) as a
+  single BINARY column.  Record-ID is an md5-derived urn:uuid so record
+  construction is deterministic and exactly resumable.
+* :func:`cdx_offsets` — per-file byte offsets for a CDX index computed
+  with one window cumsum (no collect, no second pass over payload).
+
+Everything here is Catalyst-visible (codegen'd, prunable); no Python
+executes per row.  The file IO counterparts live in
+``httpz_spark/sources/warc.py``.
+
+Clean-room note: framing follows the public ISO 28500 / IIPC warc-spec
+text; nothing here derives from the reference repo (which has no archive
+sink — this extends SURVEY §2's sink family for the crawl tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from httpz_spark.functions.urls import _SCHEME_RE, _strip_raw
+
+CRLF = "\r\n"
+
+# minimal reason-phrase table (RFC 9110 §15) — only what the status-line
+# reconstruction needs; unknown codes render 'Unknown'
+_REASONS = {
+    200: "OK", 204: "No Content", 301: "Moved Permanently", 302: "Found",
+    304: "Not Modified", 400: "Bad Request", 403: "Forbidden",
+    404: "Not Found", 429: "Too Many Requests",
+    500: "Internal Server Error", 503: "Service Unavailable",
+}
+
+
+def reason_phrase(status: Column) -> Column:
+    """RFC 9110 reason phrase for a status code ('Unknown' fallback)."""
+    expr = F.lit("Unknown")
+    for code, phrase in _REASONS.items():
+        expr = F.when(status == code, F.lit(phrase)).otherwise(expr)
+    return expr
+
+
+def surt_key(url: Column) -> Column:
+    """SURT form of a URL: ``com,example)/path?a=1&b=2``.
+
+    Rule set (documented subset of the Heritrix convention, applied
+    uniformly so keys are stable):
+
+    * scheme dropped, fragment dropped
+    * host lowercased, ONE leading ``www.`` stripped, labels reversed and
+      comma-joined; non-default port (not 80/443) kept as ``:port`` after
+      the reversed host
+    * path lowercased (empty -> ``/``); query params sorted and
+      lowercased, appended as ``?...`` when non-empty
+
+    Native decomposition mirrors :func:`canonicalize_url` so the two
+    stay consistent on edge URLs.
+    """
+    raw = _strip_raw(url)
+    rest = F.regexp_replace(raw, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"(?s)^([^/?#]*)", 1))
+    path = F.lower(F.regexp_extract(rest, r"(?s)^[^/?#]*([^?#]*)", 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.regexp_extract(rest, r"(?s)^[^?#]*\?([^#]*)", 1))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+
+    host = F.regexp_extract(hostport, r"(?s)^([^:]*)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & (port != "80") & (port != "443")
+
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+    )
+
+
+def record_uuid(url: Column, date: Column) -> Column:
+    """Deterministic ``urn:uuid:...`` record id: md5(url || date) hex laid
+    out 8-4-4-4-12.  Determinism (vs the spec's random uuid4) is what
+    makes record construction idempotent under Spark task retries and
+    exact resume — the same capture always frames to the same bytes."""
+    h = F.md5(F.concat(url, F.lit("\n"), date))
+    return F.concat(
+        F.lit("urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+
+
+def _http_head(status: Column, content_type: Column,
+               body_len: Column) -> Column:
+    """Reconstructed HTTP/1.1 response head (status line + the two
+    headers the payload framing needs), as a string."""
+    return F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "),
+        reason_phrase(status), F.lit(CRLF),
+        F.lit("Content-Type: "),
+        F.coalesce(content_type, F.lit("application/octet-stream")),
+        F.lit(CRLF),
+        F.lit("Content-Length: "), body_len.cast("string"),
+        F.lit(CRLF + CRLF),
+    )
+
+
+def warc_record(url: Column, date: Column, status: Column,
+                content_type: Column, body: Column) -> Column:
+    """One complete WARC/1.0 response record as BINARY.
+
+    ``body`` must be BINARY (image bytes pass through untouched —
+    ``F.encode`` text first for text payloads).  Layout per ISO 28500:
+    WARC header block, blank line, ``application/http;msgtype=response``
+    payload (status line + headers + body), ``\\r\\n\\r\\n`` trailer.
+    Content-Length counts the payload block in BYTES (octet_length), and
+    WARC-Payload-Digest is ``md5:<hex>`` of the raw body, so readers can
+    verify payloads without decoding.
+    """
+    body_len = F.coalesce(F.octet_length(body), F.lit(0))
+    http_head = _http_head(status, content_type, body_len)
+    # payload block = http head + body; Content-Length covers both
+    block_len = F.octet_length(F.encode(http_head, "UTF-8")) + body_len
+    warc_head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Record-ID: <"), record_uuid(url, date), F.lit(">" + CRLF),
+        F.lit("WARC-Date: "), date, F.lit(CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("WARC-Payload-Digest: md5:"),
+        F.coalesce(F.md5(body), F.md5(F.lit(b""))), F.lit(CRLF),
+        F.lit("Content-Type: application/http;msgtype=response" + CRLF),
+        F.lit("Content-Length: "), block_len.cast("string"),
+        F.lit(CRLF + CRLF),
+    )
+    return F.concat(
+        F.encode(warc_head, "UTF-8"),
+        F.encode(http_head, "UTF-8"),
+        F.coalesce(body, F.lit(b"")),
+        F.encode(F.lit(CRLF + CRLF), "UTF-8"),
+    )
+
+
+def cdx_offsets(df: DataFrame, file_col: str = "warc_file",
+                length_col: str = "record_length",
+                surt_col: str = "surt",
+                url_col: str = "url") -> DataFrame:
+    """Add CDX byte offsets: within each WARC file, records are laid out
+    in (surt, url) order and ``offset`` is the running sum of the
+    PRECEDING records' lengths.  One window cumsum per file — the shuffle
+    key is the file, so a 100k-file archive indexes with no global sort
+    and no driver state."""
+    w = (Window.partitionBy(file_col)
+         .orderBy(surt_col, url_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(
+        "offset", F.sum(length_col).over(w) - F.col(length_col))

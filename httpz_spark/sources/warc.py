@@ -1,0 +1,260 @@
+"""WARC archive IO — the crawl-tier sink/source pair (Common Crawl's
+interchange format, ISO 28500).
+
+* :func:`write_warc` — distributed archive writer: records are
+  hash-assigned to WARC files, each file's rows land in one partition
+  (repartition on the file key) pre-sorted in CDX order, and the Arrow
+  stage streams them to ``<file>.warc[.gz]`` on the executor while
+  emitting the CDX index rows (surt, offset, length, digest) for the
+  bytes it ACTUALLY wrote — index and archive cannot drift because they
+  are produced by the same pass.  ``.gz`` files use one gzip member per
+  record (the WARC-spec record-at-time compression), so a CDX offset is
+  directly seekable.
+* :func:`read_warc` — archive source: ``binaryFile`` scan (one task per
+  WARC file — exactly how Common Crawl jobs parallelize) + an Arrow
+  stage running a clean-room ISO 28500 parser (header block,
+  Content-Length-framed payload, CRLF CRLF trailer; HTTP head split out
+  of ``application/http`` payloads).
+
+Scale shape: no driver state, no collect; a 100k-file archive is 100k
+independent write/read tasks.  Writes target a shared filesystem path
+(the local analogue of the HDFS/S3 sink a cluster deployment would use).
+
+Determinism: gzip members are written with mtime=0 and fixed compression
+level, and record framing is fully hash-derived (functions/warcx.py), so
+a retried task overwrites its file byte-identically (os.replace keeps
+the swap atomic).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from httpz_spark.functions.warcx import surt_key, warc_record
+
+CDX_SCHEMA = (
+    "surt string, url string, date string, status int, mime string, "
+    "digest string, warc_file string, offset long, length long, "
+    "record_length long"
+)
+
+READ_SCHEMA = (
+    "warc_file string, offset long, record_id string, warc_type string, "
+    "date string, target_uri string, payload_digest string, "
+    "http_status int, http_content_type string, body binary, "
+    "record_length long"
+)
+
+
+def warc_file_assign(url_col, n_files: int, prefix: str = "part"):
+    """Deterministic file assignment: ``part-00007`` style, hash of the
+    url — partitioning-independent, so resume re-derives the same
+    layout."""
+    shard = F.pmod(F.xxhash64(url_col), F.lit(n_files))
+    return F.concat(F.lit(prefix + "-"), F.lpad(shard.cast("string"), 5, "0"))
+
+
+def write_warc(df: DataFrame, path: str, n_files: int = 8,
+               compress: bool = True, url_col: str = "url",
+               date_col: str = "date", status_col: str = "status",
+               content_type_col: str = "content_type",
+               body_col: str = "body") -> DataFrame:
+    """Write ``df`` as a WARC archive under ``path``; RETURNS the CDX
+    index frame (lazy — the files are written when the returned frame is
+    acted on; persist/write it immediately, once).
+
+    Input needs (url, date, status, content_type, body:binary); anything
+    else is ignored.  One gzip member per record when ``compress`` so
+    CDX offsets seek directly; ``compress=False`` writes plain ``.warc``
+    where offsets equal the uncompressed cumsum (the
+    :func:`httpz_spark.functions.warcx.cdx_offsets` expression form —
+    tested equal)."""
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    rec = df.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("date"),
+        F.col(status_col).cast("int").alias("status"),
+        F.col(content_type_col).alias("mime"),
+        F.md5(F.coalesce(F.col(body_col), F.lit(b""))).alias("digest"),
+        warc_file_assign(F.col(url_col), n_files).alias("warc_file"),
+        warc_record(F.col(url_col), F.col(date_col),
+                    F.col(status_col).cast("int"), F.col(content_type_col),
+                    F.col(body_col)).alias("record"),
+    )
+    # all rows of one file in one partition, contiguous in CDX order
+    rec = (rec.repartition(n_files, "warc_file")
+              .sortWithinPartitions("warc_file", "surt", "url"))
+
+    def _write(batches):
+        import pyarrow as pa
+
+        cur_name, cur_buf, out_rows = None, None, []
+
+        def flush():
+            if cur_name is None:
+                return
+            final = os.path.join(path, cur_name + ext)
+            tmp = final + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(cur_buf.getvalue())
+            os.replace(tmp, final)
+
+        for rb in batches:
+            cols = {n: rb.column(i).to_pylist()
+                    for i, n in enumerate(rb.schema.names)}
+            for j in range(rb.num_rows):
+                name = cols["warc_file"][j]
+                if name != cur_name:
+                    flush()
+                    cur_name, cur_buf = name, io.BytesIO()
+                raw = cols["record"][j]
+                offset = cur_buf.tell()
+                if compress:
+                    member = io.BytesIO()
+                    with gzip.GzipFile(fileobj=member, mode="wb",
+                                       compresslevel=6, mtime=0) as gz:
+                        gz.write(raw)
+                    cur_buf.write(member.getvalue())
+                else:
+                    cur_buf.write(raw)
+                out_rows.append((
+                    cols["surt"][j], cols["url"][j], cols["date"][j],
+                    cols["status"][j], cols["mime"][j], cols["digest"][j],
+                    name + ext, offset, cur_buf.tell() - offset, len(raw),
+                ))
+        flush()
+        if out_rows:
+            names = [f.strip().split(" ")[0]
+                     for f in CDX_SCHEMA.split(",")]
+            arrays = list(zip(*out_rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, type=t) for a, t in zip(arrays, [
+                    pa.string(), pa.string(), pa.string(), pa.int32(),
+                    pa.string(), pa.string(), pa.string(), pa.int64(),
+                    pa.int64(), pa.int64()])],
+                names=names)
+
+    return rec.mapInArrow(_write, CDX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def _gzip_members(blob: bytes) -> Iterator[tuple[int, bytes]]:
+    """(compressed_offset, decompressed_member) per gzip member — manual
+    decompressobj loop so member boundaries (the CDX seek points) are
+    recovered."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        data = d.decompress(blob[pos:])
+        data += d.flush()
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"corrupt gzip member at offset {pos}")
+        yield pos, data
+        pos += consumed
+
+
+def _parse_records(blob: bytes) -> Iterator[tuple[int, int, dict, bytes]]:
+    """(offset, record_length, warc_headers, payload) per record in a
+    plain (uncompressed) WARC stream — ISO 28500 framing: version line +
+    named fields, CRLF CRLF, Content-Length payload bytes, CRLF CRLF."""
+    pos = 0
+    while pos < len(blob):
+        head_end = blob.index(b"\r\n\r\n", pos)
+        head = blob[pos:head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at {pos}: {lines[0]!r}")
+        hdrs = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        clen = int(hdrs["content-length"])
+        body_start = head_end + 4
+        payload = blob[body_start:body_start + clen]
+        end = body_start + clen
+        if blob[end:end + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record trailer at {end}")
+        yield pos, end + 4 - pos, hdrs, payload
+        pos = end + 4
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) from an application/http payload."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head = payload[:sep].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, payload[sep + 4:]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a WARC archive directory into a records DataFrame (schema
+    ``READ_SCHEMA``).  One binaryFile task per archive file; plain and
+    record-at-time-gzip files both handled; ``offset`` is the seekable
+    byte offset in the file AS STORED (compressed offset for .gz)."""
+    files = (spark.read.format("binaryFile")
+             .load(os.path.join(path, "*.warc*"))
+             .select("path", "content"))
+
+    def _parse(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            paths = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            rows = []
+            for p, blob in zip(paths, blobs):
+                base = os.path.basename(p)
+                is_gz = blob[:2] == b"\x1f\x8b"
+                units = _gzip_members(blob) if is_gz else iter([(0, blob)])
+                for unit_off, data in units:
+                    for rec_off, rec_len, hdrs, payload in _parse_records(data):
+                        status, ctype, body = (
+                            _split_http(payload)
+                            if "http" in hdrs.get("content-type", "")
+                            else (None, None, payload))
+                        # one record per gzip member when we wrote it, so
+                        # the seekable offset is the member's; foreign
+                        # multi-record members inherit the member offset
+                        rows.append((
+                            base, unit_off + (0 if is_gz else rec_off),
+                            hdrs.get("warc-record-id", "").strip("<>"),
+                            hdrs.get("warc-type"),
+                            hdrs.get("warc-date"),
+                            hdrs.get("warc-target-uri"),
+                            hdrs.get("warc-payload-digest"),
+                            status, ctype, body, rec_len,
+                        ))
+            if rows:
+                arrays = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(a, type=t) for a, t in zip(arrays, [
+                        pa.string(), pa.int64(), pa.string(), pa.string(),
+                        pa.string(), pa.string(), pa.string(), pa.int32(),
+                        pa.string(), pa.binary(), pa.int64()])],
+                    names=[f.strip().split(" ")[0]
+                           for f in READ_SCHEMA.split(",")])
+
+    return files.mapInArrow(_parse, READ_SCHEMA)

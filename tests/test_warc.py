@@ -1,0 +1,193 @@
+"""WARC / SURT / CDX tests — expression goldens (brute-force python
+replay of the framing), distributed write/read roundtrip, offset
+seekability in both plain and gzip archives, and plan-shape pins."""
+
+import gzip
+import hashlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from httpz_spark.functions.warcx import (cdx_offsets, record_uuid, surt_key,
+                                         warc_record)
+from httpz_spark.sources.warc import read_warc, write_warc
+
+
+# ------------------------------------------------------------------ surt
+
+SURT_CASES = [
+    ("https://WWW.Example.COM/Path/File?b=2&a=1#frag",
+     "com,example)/path/file?a=1&b=2"),
+    ("http://sub.example.org:8080/x", "org,example,sub:8080)/x"),
+    ("https://example.net:443/", "net,example)/"),
+    ("http://example.net:80", "net,example)/"),
+    ("https://example.io", "io,example)/"),
+    ("example.io/NoScheme", "io,example)/noscheme"),
+    ("https://www.www.example.com/a", "com,example,www)/a"),
+]
+
+
+def test_surt_key_golden(spark):
+    df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], "url string")
+    got = [r["s"] for r in
+           df.select(surt_key(F.col("url")).alias("s")).collect()]
+    assert got == [s for _, s in SURT_CASES]
+
+
+# ------------------------------------------------------ record framing
+
+def py_warc_record(url, date, status, ctype, body):
+    """Independent python replay of the ISO 28500 framing."""
+    reasons = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
+               500: "Internal Server Error"}
+    http = (f"HTTP/1.1 {status} {reasons.get(status, 'Unknown')}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    h = hashlib.md5(f"{url}\n{date}".encode()).hexdigest()
+    uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{uuid}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Payload-Digest: md5:{hashlib.md5(body).hexdigest()}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http) + len(body)}\r\n\r\n").encode()
+    return head + http + body + b"\r\n\r\n"
+
+
+def test_warc_record_matches_python_replay(spark):
+    rows = [("https://h1.example/a", "2026-01-01T00:00:00Z", 200,
+             "text/html", b"<html>hi</html>"),
+            ("https://h2.example/img", "2026-01-02T12:00:00Z", 404,
+             "image/png", bytes(range(256)))]
+    df = spark.createDataFrame(
+        rows, "url string, date string, status int, ct string, body binary")
+    got = df.select(warc_record(
+        F.col("url"), F.col("date"), F.col("status"), F.col("ct"),
+        F.col("body")).alias("rec")).collect()
+    for (url, date, status, ct, body), r in zip(rows, got):
+        assert bytes(r["rec"]) == py_warc_record(url, date, status, ct, body)
+
+
+def test_record_uuid_is_deterministic_and_well_formed(spark):
+    df = spark.createDataFrame([("u", "d")], "url string, date string")
+    a = df.select(record_uuid(F.col("url"), F.col("date")).alias("x")) \
+        .collect()[0]["x"]
+    b = df.select(record_uuid(F.col("url"), F.col("date")).alias("x")) \
+        .collect()[0]["x"]
+    assert a == b and a.startswith("urn:uuid:")
+    core = a[len("urn:uuid:"):]
+    assert [len(p) for p in core.split("-")] == [8, 4, 4, 4, 12]
+
+
+def test_warc_record_plans_native(spark):
+    df = spark.createDataFrame(
+        [("u", "d", 200, "t", b"x")],
+        "url string, date string, status int, ct string, body binary")
+    plan = df.select(warc_record(
+        F.col("url"), F.col("date"), F.col("status"), F.col("ct"),
+        F.col("body"))).queryExecution().executedPlan().toString() \
+        if hasattr(df, "queryExecution") else \
+        df.select(warc_record(
+            F.col("url"), F.col("date"), F.col("status"), F.col("ct"),
+            F.col("body")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ write/read
+
+def _corpus(spark, n=60):
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/doc/"), F.col("id").cast("string")
+                 ).alias("url"),
+        F.lit("2026-01-01T00:00:00Z").alias("date"),
+        F.when(F.col("id") % 9 == 0, 404).otherwise(200).alias("status"),
+        F.when(F.col("id") % 2 == 0, "text/html")
+         .otherwise("image/png").alias("content_type"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string"),
+                          F.lit("-"), F.repeat(F.lit("x"), 50)),
+                 "UTF-8").alias("body"),
+    )
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_warc_roundtrip(spark, tmp_path, compress):
+    path = str(tmp_path / ("gz" if compress else "plain"))
+    src = _corpus(spark)
+    cdx = write_warc(src, path, n_files=4, compress=compress).collect()
+    assert len(cdx) == 60
+    ext = ".warc.gz" if compress else ".warc"
+    files = sorted(f for f in os.listdir(path) if f.endswith(ext))
+    assert 0 < len(files) <= 4 and not any(".inprogress" in f
+                                           for f in os.listdir(path))
+
+    back = read_warc(spark, path)
+    rows = {r["target_uri"]: r for r in back.collect()}
+    src_rows = src.collect()
+    assert len(rows) == len(src_rows) == 60
+    for s in src_rows:
+        r = rows[s["url"]]
+        assert bytes(r["body"]) == bytes(s["body"])
+        assert r["http_status"] == s["status"]
+        assert r["http_content_type"] == s["content_type"]
+        assert r["warc_type"] == "response"
+        assert r["payload_digest"] == \
+            "md5:" + hashlib.md5(bytes(s["body"])).hexdigest()
+
+
+def test_cdx_offsets_seek_into_gzip_archive(spark, tmp_path):
+    path = str(tmp_path / "seek")
+    cdx = write_warc(_corpus(spark), path, n_files=3,
+                     compress=True).collect()
+    for row in cdx[:10]:
+        with open(os.path.join(path, row["warc_file"]), "rb") as f:
+            f.seek(row["offset"])
+            member = f.read(row["length"])
+        rec = gzip.GzipFile(fileobj=io.BytesIO(member)).read()
+        assert len(rec) == row["record_length"]
+        assert f"WARC-Target-URI: {row['url']}\r\n".encode() in rec
+
+
+def test_plain_offsets_match_expression_cumsum(spark, tmp_path):
+    # the IO writer's measured offsets == the pure-expression window
+    # cumsum (warcx.cdx_offsets) on uncompressed archives
+    path = str(tmp_path / "expr")
+    src = _corpus(spark)
+    io_cdx = write_warc(src, path, n_files=2, compress=False) \
+        .select("url", "warc_file", "offset", "record_length")
+    got = {(r["url"]): (r["warc_file"], r["offset"])
+           for r in io_cdx.collect()}
+
+    from httpz_spark.functions.warcx import surt_key as sk
+    from httpz_spark.sources.warc import warc_file_assign
+    expr = src.select(
+        F.col("url"), sk(F.col("url")).alias("surt"),
+        F.concat(warc_file_assign(F.col("url"), 2),
+                 F.lit(".warc")).alias("warc_file"),
+        F.octet_length(warc_record(
+            F.col("url"), F.col("date"), F.col("status"),
+            F.col("content_type"), F.col("body"))).cast("long")
+        .alias("record_length"))
+    want = {r["url"]: (r["warc_file"], r["offset"])
+            for r in cdx_offsets(expr).collect()}
+    assert got == want
+
+    # and the plain-file bytes really are at those offsets
+    for url, (fname, off) in list(want.items())[:8]:
+        with open(os.path.join(path, fname), "rb") as f:
+            f.seek(off)
+            assert f.read(9) == b"WARC/1.0\r"
+
+
+def test_read_warc_is_one_task_per_file(spark, tmp_path):
+    path = str(tmp_path / "tasks")
+    write_warc(_corpus(spark), path, n_files=4, compress=True).collect()
+    df = read_warc(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
+    assert df.count() == 60
