@@ -378,6 +378,41 @@ def q_surt_cdx(spark, sf_dir):
         "doc_id", "url", "surt", "warc_file", "offset", "record_length")
 
 
+def q_warc_revisit(spark, sf_dir):
+    # archive-level recrawl dedup (warcx.mark_revisits + the WARC
+    # revisit-record framing): two capture epochs per doc, the body
+    # changes at epoch 1 for doc_id%4==0 (stays an original) and repeats
+    # otherwise (epoch 1 becomes a header-only revisit referencing epoch
+    # 0's record id); the oracle replays BOTH framings byte-for-byte
+    from httpz_spark.functions.warcx import (mark_revisits, surt_key,
+                                             warc_record_auto)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"))
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 11).cast("string"),
+                   F.lit(".example/r/"), F.col("doc_id").cast("string"))
+    date = F.concat(F.lit("2026-0"), (F.col("epoch") + 1).cast("string"),
+                    F.lit("-01T00:00:00Z"))
+    body = F.encode(F.concat(
+        F.col("text"),
+        F.when((F.col("doc_id") % 4 == 0) & (F.col("epoch") == 1),
+               F.lit("-v2")).otherwise(F.lit(""))), "UTF-8")
+    frame = d.select(
+        "doc_id", "epoch", url.alias("url"), date.alias("date"),
+        surt_key(url).alias("surt"), F.md5(body).alias("digest"),
+        body.alias("body"))
+    m = mark_revisits(frame)
+    rec = warc_record_auto(
+        F.col("url"), F.col("date"), F.lit(200), F.lit("text/plain"),
+        F.col("body"), F.col("revisit_of_url"), F.col("revisit_of_date"))
+    return m.select(
+        "doc_id", "epoch",
+        F.col("revisit_of_date").isNotNull().alias("is_revisit"),
+        F.octet_length(rec).cast("long").alias("record_len"),
+        F.md5(rec).alias("record_md5"))
+
+
 def q_human_size(spark, sf_dir):
     # A30: utils.py:86-104 human_size over synthesized byte counts spanning
     # all four units + the falsy '0B' branch
@@ -1623,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _shipped(q_weighted_sample),
         "warc_records": _shipped(q_warc_records),
         "surt_cdx": _shipped(q_surt_cdx),
+        "warc_revisit": _shipped(q_warc_revisit),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -2284,6 +2320,79 @@ def oracle_sql() -> dict[str, str]:
                         - record_length AS BIGINT) AS offset,
                    record_length
             FROM cdx
+        """,
+        # both WARC framings (response for originals, header-only revisit
+        # for repeated (surt, digest) captures) replayed byte-for-byte;
+        # uuid = md5(url || \n || date) hex laid out 8-4-4-4-12
+        "warc_revisit": """
+            WITH src AS (
+              SELECT doc_id, epoch,
+                     'https://h' || CAST(doc_id % 11 AS VARCHAR)
+                       || '.example/r/' || CAST(doc_id AS VARCHAR) AS url,
+                     '2026-0' || CAST(epoch + 1 AS VARCHAR)
+                       || '-01T00:00:00Z' AS dt,
+                     text || CASE WHEN doc_id % 4 = 0 AND epoch = 1
+                                  THEN '-v2' ELSE '' END AS body,
+                     (epoch = 1 AND doc_id % 4 <> 0) AS is_revisit
+              FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+            h AS (
+              SELECT *,
+                     md5(url || chr(10) || dt) AS uh,
+                     md5(url || chr(10) || '2026-01-01T00:00:00Z') AS ruh,
+                     'HTTP/1.1 200 OK' || E'\\r\\n'
+                       || 'Content-Type: text/plain' || E'\\r\\n'
+                       || 'Content-Length: '
+                       || CAST(octet_length(encode(body)) AS VARCHAR)
+                       || E'\\r\\n\\r\\n' AS http_head
+              FROM src),
+            rec AS (
+              SELECT doc_id, epoch, is_revisit,
+                     CASE WHEN is_revisit THEN
+                       'WARC/1.0' || E'\\r\\n'
+                       || 'WARC-Type: revisit' || E'\\r\\n'
+                       || 'WARC-Record-ID: <urn:uuid:'
+                       || substr(uh, 1, 8) || '-' || substr(uh, 9, 4) || '-'
+                       || substr(uh, 13, 4) || '-' || substr(uh, 17, 4)
+                       || '-' || substr(uh, 21, 12) || '>' || E'\\r\\n'
+                       || 'WARC-Date: ' || dt || E'\\r\\n'
+                       || 'WARC-Target-URI: ' || url || E'\\r\\n'
+                       || 'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+                       || E'\\r\\n'
+                       || 'WARC-Refers-To: <urn:uuid:'
+                       || substr(ruh, 1, 8) || '-' || substr(ruh, 9, 4)
+                       || '-' || substr(ruh, 13, 4) || '-'
+                       || substr(ruh, 17, 4) || '-' || substr(ruh, 21, 12)
+                       || '>' || E'\\r\\n'
+                       || 'WARC-Payload-Digest: md5:' || md5(body)
+                       || E'\\r\\n'
+                       || 'Content-Type: application/http;msgtype=response'
+                       || E'\\r\\n'
+                       || 'Content-Length: 0' || E'\\r\\n\\r\\n\\r\\n\\r\\n'
+                     ELSE
+                       'WARC/1.0' || E'\\r\\n'
+                       || 'WARC-Type: response' || E'\\r\\n'
+                       || 'WARC-Record-ID: <urn:uuid:'
+                       || substr(uh, 1, 8) || '-' || substr(uh, 9, 4) || '-'
+                       || substr(uh, 13, 4) || '-' || substr(uh, 17, 4)
+                       || '-' || substr(uh, 21, 12) || '>' || E'\\r\\n'
+                       || 'WARC-Date: ' || dt || E'\\r\\n'
+                       || 'WARC-Target-URI: ' || url || E'\\r\\n'
+                       || 'WARC-Payload-Digest: md5:' || md5(body)
+                       || E'\\r\\n'
+                       || 'Content-Type: application/http;msgtype=response'
+                       || E'\\r\\n'
+                       || 'Content-Length: '
+                       || CAST(octet_length(encode(http_head))
+                               + octet_length(encode(body)) AS VARCHAR)
+                       || E'\\r\\n\\r\\n'
+                       || http_head || body || E'\\r\\n\\r\\n'
+                     END AS record
+              FROM h)
+            SELECT doc_id, epoch, is_revisit,
+                   CAST(octet_length(encode(record)) AS BIGINT)
+                     AS record_len,
+                   md5(record) AS record_md5
+            FROM rec
         """,
         # cap_tokens re-trims the 160-char cut (token_count normalizes its
         # input again Spark-side, so a trailing cut-space never counts)

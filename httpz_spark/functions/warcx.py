@@ -158,6 +158,74 @@ def warc_record(url: Column, date: Column, status: Column,
     )
 
 
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def mark_revisits(df: DataFrame, surt_col: str = "surt",
+                  date_col: str = "date", digest_col: str = "digest",
+                  url_col: str = "url") -> DataFrame:
+    """Archive-level recrawl dedup (the WARC ``revisit`` convention):
+    within each SURT key, the FIRST capture of each distinct payload
+    digest — ordered by (date, url) — is the original; every later
+    capture of the same bytes is a revisit referencing it.
+
+    Adds ``revisit_of_date`` / ``revisit_of_url`` (NULL on originals),
+    enough to rebuild the original's record id
+    (:func:`record_uuid` is a pure function of url+date).  One window
+    whose shuffle key is (surt, digest) — captures of one URL
+    co-locate, so a 10^10-capture index collapses with a single
+    bounded-key exchange and no driver state.
+    """
+    w = (Window.partitionBy(surt_col, digest_col)
+         .orderBy(date_col, url_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    first_date = F.first(date_col).over(w)
+    first_url = F.first(url_col).over(w)
+    is_rev = (F.col(date_col) != first_date) | (F.col(url_col) != first_url)
+    return (df.withColumn("revisit_of_date", F.when(is_rev, first_date))
+              .withColumn("revisit_of_url", F.when(is_rev, first_url)))
+
+
+def warc_revisit_record(url: Column, date: Column, refers_url: Column,
+                        refers_date: Column, digest: Column) -> Column:
+    """A WARC/1.0 ``revisit`` record (identical-payload-digest profile)
+    as BINARY: header-only framing (Content-Length 0) that references
+    the original capture's deterministic record id — the archive stores
+    unchanged payloads once per SURT key.  ``digest`` is the md5 hex of
+    the (unstored) payload so readers can still verify against the
+    original."""
+    warc_head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: revisit" + CRLF),
+        F.lit("WARC-Record-ID: <"), record_uuid(url, date), F.lit(">" + CRLF),
+        F.lit("WARC-Date: "), date, F.lit(CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("WARC-Profile: " + REVISIT_PROFILE + CRLF),
+        F.lit("WARC-Refers-To: <"), record_uuid(refers_url, refers_date),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), digest, F.lit(CRLF),
+        F.lit("Content-Type: application/http;msgtype=response" + CRLF),
+        F.lit("Content-Length: 0" + CRLF + CRLF),
+    )
+    return F.concat(F.encode(warc_head, "UTF-8"),
+                    F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+
+
+def warc_record_auto(url: Column, date: Column, status: Column,
+                     content_type: Column, body: Column,
+                     revisit_of_url: Column,
+                     revisit_of_date: Column) -> Column:
+    """Response OR revisit framing in one expression: rows whose
+    ``revisit_of_date`` is non-NULL (see :func:`mark_revisits`) frame as
+    lightweight revisit records; originals frame as full responses."""
+    digest = F.coalesce(F.md5(body), F.md5(F.lit(b"")))
+    return F.when(
+        revisit_of_date.isNotNull(),
+        warc_revisit_record(url, date, revisit_of_url, revisit_of_date,
+                            digest),
+    ).otherwise(warc_record(url, date, status, content_type, body))
+
+
 def cdx_offsets(df: DataFrame, file_col: str = "warc_file",
                 length_col: str = "record_length",
                 surt_col: str = "surt",

@@ -37,7 +37,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from httpz_spark.functions.warcx import surt_key, warc_record
+from httpz_spark.functions.warcx import (mark_revisits, surt_key,
+                                         warc_record, warc_record_auto)
 
 CDX_SCHEMA = (
     "surt string, url string, date string, status int, mime string, "
@@ -48,8 +49,8 @@ CDX_SCHEMA = (
 READ_SCHEMA = (
     "warc_file string, offset long, record_id string, warc_type string, "
     "date string, target_uri string, payload_digest string, "
-    "http_status int, http_content_type string, body binary, "
-    "record_length long"
+    "refers_to string, http_status int, http_content_type string, "
+    "body binary, record_length long"
 )
 
 
@@ -65,7 +66,7 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
                compress: bool = True, url_col: str = "url",
                date_col: str = "date", status_col: str = "status",
                content_type_col: str = "content_type",
-               body_col: str = "body") -> DataFrame:
+               body_col: str = "body", revisits: bool = False) -> DataFrame:
     """Write ``df`` as a WARC archive under ``path``; RETURNS the CDX
     index frame (lazy — the files are written when the returned frame is
     acted on; persist/write it immediately, once).
@@ -75,11 +76,18 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
     CDX offsets seek directly; ``compress=False`` writes plain ``.warc``
     where offsets equal the uncompressed cumsum (the
     :func:`httpz_spark.functions.warcx.cdx_offsets` expression form —
-    tested equal)."""
+    tested equal).
+
+    ``revisits=True`` enables archive-level recrawl dedup: captures
+    whose payload digest repeats an earlier capture of the same SURT key
+    (:func:`httpz_spark.functions.warcx.mark_revisits` — one window on
+    (surt, digest)) are written as lightweight header-only ``revisit``
+    records referencing the original's record id, so unchanged bodies
+    are stored once per key across recrawl epochs."""
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
-    rec = df.select(
+    base = df.select(
         surt_key(F.col(url_col)).alias("surt"),
         F.col(url_col).alias("url"),
         F.col(date_col).alias("date"),
@@ -87,10 +95,19 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
         F.col(content_type_col).alias("mime"),
         F.md5(F.coalesce(F.col(body_col), F.lit(b""))).alias("digest"),
         warc_file_assign(F.col(url_col), n_files).alias("warc_file"),
-        warc_record(F.col(url_col), F.col(date_col),
-                    F.col(status_col).cast("int"), F.col(content_type_col),
-                    F.col(body_col)).alias("record"),
+        F.col(body_col).alias("_body"),
     )
+    if revisits:
+        base = mark_revisits(base)
+        record = warc_record_auto(
+            F.col("url"), F.col("date"), F.col("status"), F.col("mime"),
+            F.col("_body"), F.col("revisit_of_url"),
+            F.col("revisit_of_date"))
+    else:
+        record = warc_record(F.col("url"), F.col("date"), F.col("status"),
+                             F.col("mime"), F.col("_body"))
+    rec = base.select("surt", "url", "date", "status", "mime", "digest",
+                      "warc_file", record.alias("record"))
     # all rows of one file in one partition, contiguous in CDX order
     rec = (rec.repartition(n_files, "warc_file")
               .sortWithinPartitions("warc_file", "surt", "url"))
@@ -238,6 +255,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         # one record per gzip member when we wrote it, so
                         # the seekable offset is the member's; foreign
                         # multi-record members inherit the member offset
+                        refers = hdrs.get("warc-refers-to")
                         rows.append((
                             base, unit_off + (0 if is_gz else rec_off),
                             hdrs.get("warc-record-id", "").strip("<>"),
@@ -245,6 +263,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             hdrs.get("warc-date"),
                             hdrs.get("warc-target-uri"),
                             hdrs.get("warc-payload-digest"),
+                            refers.strip("<>") if refers else None,
                             status, ctype, body, rec_len,
                         ))
             if rows:
@@ -252,8 +271,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(a, type=t) for a, t in zip(arrays, [
                         pa.string(), pa.int64(), pa.string(), pa.string(),
-                        pa.string(), pa.string(), pa.string(), pa.int32(),
-                        pa.string(), pa.binary(), pa.int64()])],
+                        pa.string(), pa.string(), pa.string(), pa.string(),
+                        pa.int32(), pa.string(), pa.binary(), pa.int64()])],
                     names=[f.strip().split(" ")[0]
                            for f in READ_SCHEMA.split(",")])
 

@@ -191,3 +191,113 @@ def test_read_warc_is_one_task_per_file(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
     assert df.count() == 60
+
+
+# ------------------------------------------------------------- revisits
+
+def _epochs(spark):
+    """3 capture epochs of 20 urls; url u's body changes at epoch 1 when
+    u % 4 == 0, otherwise stays constant across all epochs."""
+    return spark.range(60).select(
+        (F.col("id") % 20).alias("u"),
+        (F.col("id") / 20).cast("int").alias("epoch"),
+    ).select(
+        F.concat(F.lit("https://h"), (F.col("u") % 3).cast("string"),
+                 F.lit(".example/p/"), F.col("u").cast("string")
+                 ).alias("url"),
+        F.concat(F.lit("2026-0"), (F.col("epoch") + 1).cast("string"),
+                 F.lit("-01T00:00:00Z")).alias("date"),
+        F.lit(200).alias("status"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.concat(
+            F.lit("body-"), F.col("u").cast("string"),
+            F.repeat(F.lit("x"), 400),
+            F.when((F.col("u") % 4 == 0) & (F.col("epoch") >= 1),
+                   F.lit("-v2")).otherwise(F.lit(""))), "UTF-8").alias("body"),
+        F.col("u"), F.col("epoch"),
+    )
+
+
+def test_mark_revisits_semantics(spark):
+    from httpz_spark.functions.warcx import mark_revisits, surt_key
+
+    df = _epochs(spark).select(
+        surt_key(F.col("url")).alias("surt"), "url", "date",
+        F.md5(F.col("body")).alias("digest"), "u", "epoch")
+    got = {(r["u"], r["epoch"]): r
+           for r in mark_revisits(df).collect()}
+    for (u, epoch), r in got.items():
+        if epoch == 0:
+            assert r["revisit_of_date"] is None  # first capture: original
+        elif u % 4 == 0:
+            # body changed at epoch 1: epoch 1 is a NEW original,
+            # epoch 2 revisits epoch 1
+            if epoch == 1:
+                assert r["revisit_of_date"] is None
+            else:
+                assert r["revisit_of_date"] == "2026-02-01T00:00:00Z"
+        else:
+            # unchanged body: epochs 1,2 both revisit epoch 0
+            assert r["revisit_of_date"] == "2026-01-01T00:00:00Z"
+            assert r["revisit_of_url"] == r["url"]
+
+
+def test_warc_revisit_record_matches_python_replay(spark):
+    from httpz_spark.functions.warcx import (REVISIT_PROFILE,
+                                             warc_revisit_record)
+
+    url, date = "https://h1.example/a", "2026-02-01T00:00:00Z"
+    rurl, rdate = "https://h1.example/a", "2026-01-01T00:00:00Z"
+    digest = hashlib.md5(b"same-bytes").hexdigest()
+
+    def uuid_of(u, d):
+        h = hashlib.md5(f"{u}\n{d}".encode()).hexdigest()
+        return f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    want = ("WARC/1.0\r\n"
+            "WARC-Type: revisit\r\n"
+            f"WARC-Record-ID: <{uuid_of(url, date)}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+            f"WARC-Refers-To: <{uuid_of(rurl, rdate)}>\r\n"
+            f"WARC-Payload-Digest: md5:{digest}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            "Content-Length: 0\r\n\r\n\r\n\r\n").encode()
+    df = spark.createDataFrame([(url, date, rurl, rdate, digest)],
+                               "u string, d string, ru string, rd string, "
+                               "dg string")
+    got = df.select(warc_revisit_record(
+        F.col("u"), F.col("d"), F.col("ru"), F.col("rd"),
+        F.col("dg")).alias("rec")).collect()[0]["rec"]
+    assert bytes(got) == want
+
+
+def test_write_warc_revisits_roundtrip_and_shrink(spark, tmp_path):
+    src = _epochs(spark).drop("u", "epoch")
+    full_path, rev_path = str(tmp_path / "full"), str(tmp_path / "rev")
+    write_warc(src, full_path, n_files=2, compress=False).collect()
+    cdx = write_warc(src, rev_path, n_files=2, compress=False,
+                     revisits=True).collect()
+    assert len(cdx) == 60
+
+    def total(p):
+        return sum(os.path.getsize(os.path.join(p, f))
+                   for f in os.listdir(p))
+    assert total(rev_path) < total(full_path)
+
+    back = read_warc(spark, rev_path).collect()
+    assert len(back) == 60
+    by_id = {r["record_id"]: r for r in back}
+    revs = [r for r in back if r["warc_type"] == "revisit"]
+    # 20 urls x 3 epochs: 15 urls never change (2 revisits each) + 5
+    # urls change at epoch 1 (1 revisit each) = 35 revisits
+    assert len(revs) == 35
+    for r in revs:
+        assert r["refers_to"] in by_id, "dangling WARC-Refers-To"
+        orig = by_id[r["refers_to"]]
+        assert orig["warc_type"] == "response"
+        assert orig["target_uri"] == r["target_uri"]
+        assert orig["payload_digest"] == r["payload_digest"]
+        assert bytes(r["body"]) == b""
+        assert r["record_length"] < orig["record_length"]
