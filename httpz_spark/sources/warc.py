@@ -164,6 +164,41 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
     return rec.mapInArrow(_write, CDX_SCHEMA)
 
 
+def crawl_to_warc(results: DataFrame, path: str, n_files: int = 8,
+                  compress: bool = True, revisits: bool = False,
+                  base_date: str = "2026-01-01T") -> DataFrame:
+    """Archive a :class:`~httpz_spark.plans.frontier.CrawlEngine` crawl:
+    map the persisted ``results`` table (``store.read("results")``) onto
+    :func:`write_warc` and return the CDX index frame.
+
+    * body = the image payload ``bytes`` when the row carried one, else
+      the captured ``body_preview`` re-encoded — the same capture the
+      reference scanner emits.
+    * WARC-Date derives from ``wave_id`` (``base_date`` + wave as
+      HH:MM:SS, pure string arithmetic — no session-timezone
+      dependence), so archiving is deterministic and a resumed crawl
+      re-archives byte-identically.
+    * rows with ``status < 0`` (transport errors — no HTTP response to
+      frame) are skipped; they live in the results/lineage tables.
+    * ``revisits=True`` additionally collapses repeat payloads across
+      waves into header-only revisit records (recrawl archives shrink).
+    """
+    two = lambda c: F.lpad(c.cast("long").cast("string"), 2, "0")  # noqa: E731
+    w = F.col("wave_id").cast("long")
+    date = F.concat(F.lit(base_date), two(F.floor(w / 3600) % 24),
+                    F.lit(":"), two(F.floor(w / 60) % 60), F.lit(":"),
+                    two(w % 60), F.lit("Z"))
+    d = (results.filter(F.col("status") >= 0)
+         .select(F.coalesce(F.col("url"), F.col("url_canon")).alias("url"),
+                 date.alias("date"), "status", "content_type",
+                 F.coalesce(
+                     F.col("bytes"),
+                     F.encode(F.coalesce(F.col("body_preview"), F.lit("")),
+                              "UTF-8")).alias("body")))
+    return write_warc(d, path, n_files=n_files, compress=compress,
+                      revisits=revisits)
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------

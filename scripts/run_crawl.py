@@ -51,6 +51,13 @@ def main(argv=None) -> int:
                     help="AIMD per-host budgets from observed latency/"
                          "timeouts (halve on degradation, +1 on recovery)")
     ap.add_argument("--slow-latency-ms", type=float, default=1000.0)
+    ap.add_argument("--warc-out", default=None,
+                    help="archive the crawl's fetched captures as a WARC "
+                         "directory (record-at-time gzip + CDX parquet "
+                         "at <dir>/cdx)")
+    ap.add_argument("--warc-revisits", action="store_true",
+                    help="collapse repeat payloads into header-only "
+                         "revisit records (recrawl archives shrink)")
     ap.add_argument("--sitemap-seeds", action="store_true",
                     help="augment the seed file with sitemap-discovered "
                          "page URLs (robots Sitemap: lines -> sitemap/"
@@ -126,10 +133,25 @@ def main(argv=None) -> int:
     eng.init_frontier(seeds)
     results = eng.crawl(max_waves=args.waves)
 
+    n_archived = None
+    if args.warc_out:
+        from httpz_spark.sources.warc import crawl_to_warc
+
+        cdx = crawl_to_warc(eng.store.read("results"), args.warc_out,
+                            n_files=args.partitions,
+                            revisits=args.warc_revisits)
+        cdx.write.mode("overwrite").parquet(
+            os.path.join(args.warc_out, "cdx"))
+        n_archived = spark.read.parquet(
+            os.path.join(args.warc_out, "cdx")).count()
+        print(f"WARC archive: {n_archived} records -> {args.warc_out}",
+              file=sys.stderr)
+
     lineage = eng.store.read("lineage").orderBy("wave_id").collect()
     summary = {
         "results": results.count(),
         "unique_urls": results.select("url_hash").distinct().count(),
+        "warc_records": n_archived,
         "waves": [
             {"wave": r["wave_id"], "fetched": r["n_fetched"],
              "deferred": r["n_deferred"], "urls_per_sec": round(r["urls_per_sec"], 1)}

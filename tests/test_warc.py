@@ -301,3 +301,70 @@ def test_write_warc_revisits_roundtrip_and_shrink(spark, tmp_path):
         assert orig["payload_digest"] == r["payload_digest"]
         assert bytes(r["body"]) == b""
         assert r["record_length"] < orig["record_length"]
+
+
+def test_warc_binary_payload_roundtrip(spark, tmp_path):
+    # image-axis safety: bodies are opaque BINARY — NUL bytes, the full
+    # 0..255 range, and an embedded \r\n\r\n (the record trailer
+    # sequence) must all survive framing + parse bit-exact, because the
+    # parser frames by Content-Length, never by scanning for trailers
+    bodies = [
+        bytes(range(256)) * 4,
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 64 + b"\r\n\r\n" + bytes(range(255, -1, -1)),
+        b"",
+    ]
+    rows = [(f"https://img.example/{i}", "2026-03-01T00:00:00Z", 200,
+             "image/png", b) for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(
+        rows, "url string, date string, status int, content_type string, "
+              "body binary")
+    path = str(tmp_path / "bin")
+    write_warc(df, path, n_files=1, compress=True).collect()
+    back = {r["target_uri"]: bytes(r["body"])
+            for r in read_warc(spark, path).collect()}
+    for (url, _, _, _, body) in rows:
+        assert back[url] == body
+
+
+def test_crawl_to_warc_archives_fetched_results(spark, tmp_path):
+    # end-to-end: fabric crawl -> persisted results table -> WARC archive
+    # -> read back; every archived capture's digest must match the
+    # results row's payload/preview, and error rows must be skipped
+    import hashlib
+
+    from httpz_spark.config import EngineConfig, ScanConfig
+    from httpz_spark.plans.frontier import CrawlEngine
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as S
+    from httpz_spark.sources.warc import crawl_to_warc
+
+    world = FB.FabricConfig(n_images=32, n_hosts=6).with_certs()
+    state = str(tmp_path / "state")
+    eng = CrawlEngine(
+        spark, S.images_df(spark, world, partitions=2),
+        S.dns_df(spark, world), S.robots_df(spark, world),
+        ScanConfig.all_on(discover_links=True),
+        EngineConfig(partitions=4, per_host_budget=4, max_depth=1,
+                     salt_buckets=2, state_dir=state),
+        world, state_dir=state)
+    eng.init_frontier(S.seeds_df(spark, S.seed_url_lines(world)))
+    eng.crawl(max_waves=2)
+
+    results = eng.store.read("results")
+    n_ok = results.filter(F.col("status") >= 0).count()
+    assert n_ok > 0
+
+    path = str(tmp_path / "archive")
+    cdx = crawl_to_warc(results, path, n_files=2, compress=True)
+    assert cdx.count() == n_ok
+
+    back = read_warc(spark, path).collect()
+    assert len(back) == n_ok
+    want = {}
+    for r in results.filter(F.col("status") >= 0).collect():
+        body = (bytes(r["bytes"]) if r["bytes"] is not None
+                else (r["body_preview"] or "").encode())
+        want[r["url"] or r["url_canon"]] = hashlib.md5(body).hexdigest()
+    for r in back:
+        assert r["payload_digest"] == "md5:" + want[r["target_uri"]]
+        assert r["date"].endswith("Z") and "T" in r["date"]
