@@ -321,6 +321,46 @@ def ann_10k_queries(spark) -> dict:
     return {"sec": dt, "n_queries": nq, "queries_per_sec": nq / dt}
 
 
+def warc_workload(spark, n: int = 500_000, n_files: int = 64) -> dict:
+    """Archive sink/source throughput: write n synthetic captures as
+    record-at-time-gzip WARC (the CDX index materializes the write),
+    then read the archive back.  Bodies are ~270 high-entropy bytes so
+    gzip cannot flatten the workload."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from httpz_spark.sources.warc import read_warc, write_warc
+
+    path = tempfile.mkdtemp(prefix="bench_warc_")
+    try:
+        src = spark.range(n).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 997).cast("string"),
+                     F.lit(".example/p/"), F.col("id").cast("string")
+                     ).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("date"),
+            F.lit(200).alias("status"),
+            F.lit("text/html").alias("content_type"),
+            F.encode(F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + n).cast("string"), 512)),
+                "UTF-8").alias("body"),
+        )
+        t0 = time.time()
+        n_cdx = write_warc(src, path, n_files=n_files).count()
+        w = time.time() - t0
+        t0 = time.time()
+        n_back = read_warc(spark, path).count()
+        r = time.time() - t0
+        assert n_cdx == n_back == n
+        return {"write_sec": w, "read_sec": r,
+                "write_rps": n / w, "read_rps": n / r}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _load1() -> float:
     """1-minute load average — the ambient-tenancy bracket.  This host is a
     shared VM whose steal swings minute to minute; BENCH_r04 was captured
@@ -356,6 +396,9 @@ def table_queries(spark) -> tuple:
         # ExactSubstr span removal (window explode + count-then-join +
         # islands merge + native text rebuild)
         "dsir_weights", "exactsubstr", "bm25",
+        # round-6 session 7: WARC framing + revisit collapse (native
+        # binary concat + one (surt, digest) window)
+        "warc_revisit",
     ]
     qs = E.queries()
     times, loads = {}, {}
@@ -403,6 +446,11 @@ def run_default() -> None:
     ishard = imageshard_workload(spark, CPUS)
     queries["image_shard_1m"] = round(ishard["sec"], 3)
     qloads["image_shard_1m"] = [l0, _load1()]
+    l0 = _load1()
+    warc = warc_workload(spark)
+    queries["warc_write_500k"] = round(warc["write_sec"], 3)
+    queries["warc_read_500k"] = round(warc["read_sec"], 3)
+    qloads["warc_write_500k"] = qloads["warc_read_500k"] = [l0, _load1()]
     total = round(time.time() - t_all, 3)
     # same-minute machine ceiling (multiprocessing, no Spark): what this
     # host could deliver for the fetch workload DURING this capture —
