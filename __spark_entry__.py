@@ -378,6 +378,22 @@ def q_surt_cdx(spark, sf_dir):
         "doc_id", "url", "surt", "warc_file", "offset", "record_length")
 
 
+def q_wet_records(spark, sf_dir):
+    # WET conversion-record framing (functions/warcx.warc_conversion_record
+    # — the Common Crawl text-extraction companion): one native binary
+    # expression; oracle rebuilds the record byte-for-byte incl. the
+    # '#conversion'-salted record id and the unsalted Refers-To
+    from httpz_spark.functions.warcx import warc_conversion_record
+
+    d = _warc_fixture(spark, sf_dir)
+    rec = warc_conversion_record(
+        F.col("url"), F.col("date"), F.decode(F.col("body"), "UTF-8"))
+    return d.select(
+        "doc_id", F.col("url").alias("target_uri"),
+        F.octet_length(rec).cast("long").alias("record_len"),
+        F.md5(rec).alias("record_md5"))
+
+
 def q_warc_revisit(spark, sf_dir):
     # archive-level recrawl dedup (warcx.mark_revisits + the WARC
     # revisit-record framing): two capture epochs per doc, the body
@@ -1659,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _shipped(q_warc_records),
         "surt_cdx": _shipped(q_surt_cdx),
         "warc_revisit": _shipped(q_warc_revisit),
+        "wet_records": _shipped(q_wet_records),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -2320,6 +2337,39 @@ def oracle_sql() -> dict[str, str]:
                         - record_length AS BIGINT) AS offset,
                    record_length
             FROM cdx
+        """,
+        # WET conversion framing replayed byte-for-byte: record id salted
+        # with '#conversion', Refers-To carries the unsalted response id
+        "wet_records": f"""
+            {_WARC_REC_CTE}
+            SELECT doc_id, url AS target_uri,
+                   CAST(octet_length(encode(record)) AS BIGINT)
+                     AS record_len,
+                   md5(record) AS record_md5
+            FROM (
+              SELECT doc_id, url,
+                     'WARC/1.0' || E'\\r\\n'
+                     || 'WARC-Type: conversion' || E'\\r\\n'
+                     || 'WARC-Record-ID: <urn:uuid:'
+                     || substr(ch, 1, 8) || '-' || substr(ch, 9, 4) || '-'
+                     || substr(ch, 13, 4) || '-' || substr(ch, 17, 4)
+                     || '-' || substr(ch, 21, 12) || '>' || E'\\r\\n'
+                     || 'WARC-Date: ' || dt || E'\\r\\n'
+                     || 'WARC-Target-URI: ' || url || E'\\r\\n'
+                     || 'WARC-Refers-To: <urn:uuid:'
+                     || substr(rh, 1, 8) || '-' || substr(rh, 9, 4) || '-'
+                     || substr(rh, 13, 4) || '-' || substr(rh, 17, 4)
+                     || '-' || substr(rh, 21, 12) || '>' || E'\\r\\n'
+                     || 'WARC-Payload-Digest: md5:' || md5(body)
+                     || E'\\r\\n'
+                     || 'Content-Type: text/plain' || E'\\r\\n'
+                     || 'Content-Length: '
+                     || CAST(octet_length(encode(body)) AS VARCHAR)
+                     || E'\\r\\n\\r\\n' || body || E'\\r\\n\\r\\n' AS record
+              FROM (SELECT doc_id, url, dt, body,
+                           md5(url || chr(10) || dt || '#conversion') AS ch,
+                           md5(url || chr(10) || dt) AS rh
+                    FROM parts))
         """,
         # both WARC framings (response for originals, header-only revisit
         # for repeated (surt, digest) captures) replayed byte-for-byte;

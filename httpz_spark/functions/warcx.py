@@ -226,6 +226,31 @@ def warc_record_auto(url: Column, date: Column, status: Column,
     ).otherwise(warc_record(url, date, status, content_type, body))
 
 
+def warc_conversion_record(url: Column, date: Column, text: Column) -> Column:
+    """A WARC/1.0 ``conversion`` record (the WET convention: the
+    extracted plain text of a stored capture) as BINARY.  The record id
+    is salted with ``#conversion`` so it never collides with the source
+    response record's id (same url+date); ``WARC-Refers-To`` carries the
+    UNSALTED id, i.e. the response record this text was extracted from."""
+    body = F.encode(F.coalesce(text, F.lit("")), "UTF-8")
+    warc_head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: conversion" + CRLF),
+        F.lit("WARC-Record-ID: <"),
+        record_uuid(url, F.concat(date, F.lit("#conversion"))),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Date: "), date, F.lit(CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("WARC-Refers-To: <"), record_uuid(url, date), F.lit(">" + CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), F.md5(body), F.lit(CRLF),
+        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(body).cast("string"), F.lit(CRLF + CRLF),
+    )
+    return F.concat(F.encode(warc_head, "UTF-8"), body,
+                    F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+
+
 def cdx_offsets(df: DataFrame, file_col: str = "warc_file",
                 length_col: str = "record_length",
                 surt_col: str = "surt",

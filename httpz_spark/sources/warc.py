@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from httpz_spark.functions.warcx import (mark_revisits, surt_key,
-                                         warc_record, warc_record_auto)
+                                         warc_conversion_record, warc_record,
+                                         warc_record_auto)
 
 CDX_SCHEMA = (
     "surt string, url string, date string, status int, mime string, "
@@ -84,7 +85,6 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
     (surt, digest)) are written as lightweight header-only ``revisit``
     records referencing the original's record id, so unchanged bodies
     are stored once per key across recrawl epochs."""
-    os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
     base = df.select(
@@ -108,8 +108,22 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
                              F.col("mime"), F.col("_body"))
     rec = base.select("surt", "url", "date", "status", "mime", "digest",
                       "warc_file", record.alias("record"))
+    return write_records(rec, path, n_files=n_files, compress=compress,
+                         ext=ext)
+
+
+def write_records(rec: DataFrame, path: str, n_files: int,
+                  compress: bool, ext: str) -> DataFrame:
+    """Shared archive-writer tail: ``rec`` carries pre-framed BINARY
+    ``record`` bytes plus the CDX key columns (surt, url, date, status,
+    mime, digest, warc_file); rows are co-located per file, laid out in
+    CDX order, and streamed to disk by one Arrow stage that emits the
+    index rows for the bytes it actually wrote."""
+    os.makedirs(path, exist_ok=True)
     # all rows of one file in one partition, contiguous in CDX order
-    rec = (rec.repartition(n_files, "warc_file")
+    rec = (rec.select("surt", "url", "date", "status", "mime", "digest",
+                      "warc_file", "record")
+              .repartition(n_files, "warc_file")
               .sortWithinPartitions("warc_file", "surt", "url"))
 
     def _write(batches):
@@ -197,6 +211,76 @@ def crawl_to_warc(results: DataFrame, path: str, n_files: int = 8,
                               "UTF-8")).alias("body")))
     return write_warc(d, path, n_files=n_files, compress=compress,
                       revisits=revisits)
+
+
+WET_STAGE_SCHEMA = "url string, date string, text string"
+
+
+def wet_from_warc(records: DataFrame) -> DataFrame:
+    """Text extraction for WET derivation: response records only, one
+    Arrow stage.  HTML bodies run the same single-pass page parser the
+    fetch stage uses (script/style/noscript decomposed, whitespace
+    normalized); other ``text/*`` bodies decode as-is; binary payloads
+    (images etc.) have no text conversion and are skipped.  Returns
+    (url, date, text)."""
+    src = (records.filter(F.col("warc_type") == "response")
+           .select(F.col("target_uri").alias("url"), F.col("date"),
+                   F.col("http_content_type").alias("ctype"),
+                   F.col("body")))
+
+    def _extract(batches):
+        import pyarrow as pa
+
+        from httpz_spark.functions.htmlx import parse_page
+        from httpz_spark.parity import refmodel as R
+
+        for rb in batches:
+            urls, dates, ctypes, bodies = (rb.column(i).to_pylist()
+                                           for i in range(4))
+            out = ([], [], [])
+            for u, d, c, b in zip(urls, dates, ctypes, bodies):
+                c = (c or "").lower()
+                if b is None:
+                    continue
+                if "html" in c:
+                    page = parse_page(b.decode("utf-8", errors="replace"))
+                    text = (R.normalize_text(" ".join(page.text_parts))
+                            if page else "")
+                elif c.startswith("text/") or c == "":
+                    text = b.decode("utf-8", errors="replace")
+                else:
+                    continue
+                out[0].append(u)
+                out[1].append(d)
+                out[2].append(text)
+            if out[0]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(a, pa.string()) for a in out],
+                    names=["url", "date", "text"])
+
+    return src.mapInArrow(_extract, WET_STAGE_SCHEMA)
+
+
+def write_wet(records: DataFrame, path: str, n_files: int = 8,
+              compress: bool = True) -> DataFrame:
+    """Derive and write the WET companion archive (plain-text
+    ``conversion`` records — what Common Crawl ships next to every WARC
+    segment) from a :func:`read_warc` frame; returns the CDX index
+    frame.  The conversion framing is native
+    (:func:`httpz_spark.functions.warcx.warc_conversion_record`); only
+    the HTML→text step runs Python, Arrow-batched."""
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    t = wet_from_warc(records)
+    rec = t.select(
+        surt_key(F.col("url")).alias("surt"), "url", "date",
+        F.lit(None).cast("int").alias("status"),
+        F.lit("text/plain").alias("mime"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+        warc_file_assign(F.col("url"), n_files).alias("warc_file"),
+        warc_conversion_record(F.col("url"), F.col("date"),
+                               F.col("text")).alias("record"))
+    return write_records(rec, path, n_files=n_files, compress=compress,
+                         ext=ext)
 
 
 # ---------------------------------------------------------------------------

@@ -368,3 +368,73 @@ def test_crawl_to_warc_archives_fetched_results(spark, tmp_path):
     for r in back:
         assert r["payload_digest"] == "md5:" + want[r["target_uri"]]
         assert r["date"].endswith("Z") and "T" in r["date"]
+
+
+# ------------------------------------------------------------------- wet
+
+def test_wet_derivation_roundtrip(spark, tmp_path):
+    # WARC -> WET: html bodies get parser-extracted text, text/plain
+    # passes through, binary mimes are skipped; the WET archive reads
+    # back as conversion records whose Refers-To is the source response
+    from httpz_spark.sources.warc import write_wet
+
+    rows = [
+        ("https://a.example/page", "2026-01-01T00:00:00Z", 200, "text/html",
+         b"<html><head><title>T</title><script>no()</script></head>"
+         b"<body><p>hello   world</p><style>.x{}</style>"
+         b"<div>again</div></body></html>"),
+        ("https://a.example/plain", "2026-01-01T00:00:00Z", 200,
+         "text/plain", b"just  raw\ntext"),
+        ("https://a.example/img", "2026-01-01T00:00:00Z", 200,
+         "image/png", b"\x89PNG\x00\x01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, date string, status int, content_type string, "
+              "body binary")
+    warc_path, wet_path = str(tmp_path / "warc"), str(tmp_path / "wet")
+    write_warc(df, warc_path, n_files=1).collect()
+
+    src = read_warc(spark, warc_path)
+    cdx = write_wet(src, wet_path, n_files=1).collect()
+    assert len(cdx) == 2  # image row has no text conversion
+    assert all(r["mime"] == "text/plain" for r in cdx)
+
+    back = {r["target_uri"]: r for r in read_warc(spark, wet_path).collect()}
+    assert set(back) == {"https://a.example/page",
+                         "https://a.example/plain"}
+    page = back["https://a.example/page"]
+    assert page["warc_type"] == "conversion"
+    assert bytes(page["body"]).decode() == "T hello world again"
+    assert bytes(back["https://a.example/plain"]["body"]) == b"just  raw\ntext"
+
+    # Refers-To resolves to the response record in the source archive
+    src_ids = {r["target_uri"]: r["record_id"] for r in src.collect()}
+    for url, r in back.items():
+        assert r["refers_to"] == src_ids[url]
+        assert r["record_id"] != r["refers_to"]  # salted conversion id
+
+
+def test_warc_conversion_record_matches_python_replay(spark):
+    from httpz_spark.functions.warcx import warc_conversion_record
+
+    url, date, text = "https://h.example/x", "2026-02-02T00:00:00Z", "héllo wörld"
+    body = text.encode()
+
+    def uuid_of(u, d):
+        h = hashlib.md5(f"{u}\n{d}".encode()).hexdigest()
+        return f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    want = ("WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <{uuid_of(url, date + '#conversion')}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Refers-To: <{uuid_of(url, date)}>\r\n"
+            f"WARC-Payload-Digest: md5:{hashlib.md5(body).hexdigest()}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body + b"\r\n\r\n"
+    df = spark.createDataFrame([(url, date, text)],
+                               "u string, d string, t string")
+    got = df.select(warc_conversion_record(
+        F.col("u"), F.col("d"), F.col("t")).alias("r")).collect()[0]["r"]
+    assert bytes(got) == want
