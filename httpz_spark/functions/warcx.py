@@ -71,6 +71,9 @@ def surt_key(url: Column) -> Column:
     raw = _strip_raw(url)
     rest = F.regexp_replace(raw, _SCHEME_RE, "")
     hostport = F.lower(F.regexp_extract(rest, r"(?s)^([^/?#]*)", 1))
+    # drop userinfo (user:pass@) — otherwise the first ':' split would
+    # take the username for the host and collapse distinct hosts
+    hostport = F.regexp_replace(hostport, r"^[^/@]*@", "")
     path = F.lower(F.regexp_extract(rest, r"(?s)^[^/?#]*([^?#]*)", 1))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.lower(F.regexp_extract(rest, r"(?s)^[^?#]*\?([^#]*)", 1))
@@ -254,14 +257,18 @@ def warc_conversion_record(url: Column, date: Column, text: Column) -> Column:
 def cdx_offsets(df: DataFrame, file_col: str = "warc_file",
                 length_col: str = "record_length",
                 surt_col: str = "surt",
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url",
+                extra_order: tuple = ()) -> DataFrame:
     """Add CDX byte offsets: within each WARC file, records are laid out
-    in (surt, url) order and ``offset`` is the running sum of the
-    PRECEDING records' lengths.  One window cumsum per file — the shuffle
-    key is the file, so a 100k-file archive indexes with no global sort
-    and no driver state."""
+    in (surt, url, *extra_order) order and ``offset`` is the running sum
+    of the PRECEDING records' lengths.  One window cumsum per file — the
+    shuffle key is the file, so a 100k-file archive indexes with no
+    global sort and no driver state.  Pass ``extra_order`` tiebreakers
+    (e.g. ``("date", "digest")``) whenever one URL can appear more than
+    once per file — multi-epoch/revisit archives — so the layout is
+    total-ordered and deterministic."""
     w = (Window.partitionBy(file_col)
-         .orderBy(surt_col, url_col)
+         .orderBy(surt_col, url_col, *extra_order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(
         "offset", F.sum(length_col).over(w) - F.col(length_col))

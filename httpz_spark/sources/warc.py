@@ -29,7 +29,6 @@ the swap atomic).
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import zlib
 from typing import Iterator
@@ -120,25 +119,28 @@ def write_records(rec: DataFrame, path: str, n_files: int,
     CDX order, and streamed to disk by one Arrow stage that emits the
     index rows for the bytes it actually wrote."""
     os.makedirs(path, exist_ok=True)
-    # all rows of one file in one partition, contiguous in CDX order
+    # all rows of one file in one partition, contiguous in CDX order;
+    # (date, digest) break ties when one URL has several captures
+    # (multi-epoch/revisit archives) so the layout is a TOTAL order —
+    # a retried/speculative task re-sorts identically and os.replace
+    # swaps in byte-identical files
     rec = (rec.select("surt", "url", "date", "status", "mime", "digest",
                       "warc_file", "record")
               .repartition(n_files, "warc_file")
-              .sortWithinPartitions("warc_file", "surt", "url"))
+              .sortWithinPartitions("warc_file", "surt", "url", "date",
+                                    "digest"))
 
     def _write(batches):
         import pyarrow as pa
 
-        cur_name, cur_buf, out_rows = None, None, []
+        cur_name, cur_f, out_rows = None, None, []
 
         def flush():
             if cur_name is None:
                 return
+            cur_f.close()
             final = os.path.join(path, cur_name + ext)
-            tmp = final + ".inprogress"
-            with open(tmp, "wb") as f:
-                f.write(cur_buf.getvalue())
-            os.replace(tmp, final)
+            os.replace(final + ".inprogress", final)
 
         for rb in batches:
             cols = {n: rb.column(i).to_pylist()
@@ -147,21 +149,23 @@ def write_records(rec: DataFrame, path: str, n_files: int,
                 name = cols["warc_file"][j]
                 if name != cur_name:
                     flush()
-                    cur_name, cur_buf = name, io.BytesIO()
+                    cur_name = name
+                    # stream records straight to the temp file — executor
+                    # memory stays O(record), never O(archive file)
+                    cur_f = open(os.path.join(path, name + ext)
+                                 + ".inprogress", "wb")
                 raw = cols["record"][j]
-                offset = cur_buf.tell()
+                offset = cur_f.tell()
                 if compress:
-                    member = io.BytesIO()
-                    with gzip.GzipFile(fileobj=member, mode="wb",
+                    with gzip.GzipFile(fileobj=cur_f, mode="wb",
                                        compresslevel=6, mtime=0) as gz:
                         gz.write(raw)
-                    cur_buf.write(member.getvalue())
                 else:
-                    cur_buf.write(raw)
+                    cur_f.write(raw)
                 out_rows.append((
                     cols["surt"][j], cols["url"][j], cols["date"][j],
                     cols["status"][j], cols["mime"][j], cols["digest"][j],
-                    name + ext, offset, cur_buf.tell() - offset, len(raw),
+                    name + ext, offset, cur_f.tell() - offset, len(raw),
                 ))
         flush()
         if out_rows:
@@ -290,11 +294,13 @@ def write_wet(records: DataFrame, path: str, n_files: int = 8,
 def _gzip_members(blob: bytes) -> Iterator[tuple[int, bytes]]:
     """(compressed_offset, decompressed_member) per gzip member — manual
     decompressobj loop so member boundaries (the CDX seek points) are
-    recovered."""
+    recovered.  The memoryview slice is zero-copy: without it a 100k-
+    member archive would memcpy O(members x file_size)."""
+    mv = memoryview(blob)
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        data = d.decompress(blob[pos:])
+        data = d.decompress(mv[pos:])
         data += d.flush()
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
@@ -350,8 +356,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     ``READ_SCHEMA``).  One binaryFile task per archive file; plain and
     record-at-time-gzip files both handled; ``offset`` is the seekable
     byte offset in the file AS STORED (compressed offset for .gz)."""
+    # exact-extension glob: never matches ".inprogress" temps a killed
+    # writer left behind (those may hold duplicate/truncated members)
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(path, "*.warc*"))
+             .load(os.path.join(path, "*.{warc,warc.gz,warc.wet,warc.wet.gz}"))
              .select("path", "content"))
 
     def _parse(batches):
