@@ -394,6 +394,29 @@ def q_wet_records(spark, sf_dir):
         F.md5(rec).alias("record_md5"))
 
 
+def q_wat_records(spark, sf_dir):
+    # WAT metadata-record framing (warcx.warc_metadata_record — the
+    # Common Crawl JSON-envelope companion): JSON built natively in the
+    # same sorted-key/no-whitespace shape wat_from_warc emits (links
+    # empty — the fixture bodies are not html), framed as a '#metadata'-
+    # salted derived record; oracle replays JSON + framing byte-for-byte
+    from httpz_spark.functions.warcx import warc_metadata_record
+
+    d = _warc_fixture(spark, sf_dir)
+    meta = F.concat(
+        F.lit('{"Content-Length":'),
+        F.octet_length(F.col("body")).cast("string"),
+        F.lit(',"Content-Type":"'), F.col("mime"),
+        F.lit('","Links":[],"Payload-Digest":"md5:'), F.md5(F.col("body")),
+        F.lit('","Status":'), F.col("status").cast("string"),
+        F.lit(',"URL":"'), F.col("url"), F.lit('"}'))
+    rec = warc_metadata_record(F.col("url"), F.col("date"), meta)
+    return d.select(
+        "doc_id", F.col("url").alias("target_uri"),
+        F.octet_length(rec).cast("long").alias("record_len"),
+        F.md5(rec).alias("record_md5"))
+
+
 def q_warc_revisit(spark, sf_dir):
     # archive-level recrawl dedup (warcx.mark_revisits + the WARC
     # revisit-record framing): two capture epochs per doc, the body
@@ -1676,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_cdx": _shipped(q_surt_cdx),
         "warc_revisit": _shipped(q_warc_revisit),
         "wet_records": _shipped(q_wet_records),
+        "wat_records": _shipped(q_wat_records),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -2369,6 +2393,46 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, url, dt, body,
                            md5(url || chr(10) || dt || '#conversion') AS ch,
                            md5(url || chr(10) || dt) AS rh
+                    FROM parts))
+        """,
+        # WAT metadata framing: the native JSON envelope + the
+        # '#metadata'-salted derived-record frame, byte-for-byte
+        "wat_records": f"""
+            {_WARC_REC_CTE}
+            SELECT doc_id, url AS target_uri,
+                   CAST(octet_length(encode(record)) AS BIGINT)
+                     AS record_len,
+                   md5(record) AS record_md5
+            FROM (
+              SELECT doc_id, url,
+                     'WARC/1.0' || E'\\r\\n'
+                     || 'WARC-Type: metadata' || E'\\r\\n'
+                     || 'WARC-Record-ID: <urn:uuid:'
+                     || substr(mh, 1, 8) || '-' || substr(mh, 9, 4) || '-'
+                     || substr(mh, 13, 4) || '-' || substr(mh, 17, 4)
+                     || '-' || substr(mh, 21, 12) || '>' || E'\\r\\n'
+                     || 'WARC-Date: ' || dt || E'\\r\\n'
+                     || 'WARC-Target-URI: ' || url || E'\\r\\n'
+                     || 'WARC-Refers-To: <urn:uuid:'
+                     || substr(rh, 1, 8) || '-' || substr(rh, 9, 4) || '-'
+                     || substr(rh, 13, 4) || '-' || substr(rh, 17, 4)
+                     || '-' || substr(rh, 21, 12) || '>' || E'\\r\\n'
+                     || 'WARC-Payload-Digest: md5:' || md5(meta)
+                     || E'\\r\\n'
+                     || 'Content-Type: application/json' || E'\\r\\n'
+                     || 'Content-Length: '
+                     || CAST(octet_length(encode(meta)) AS VARCHAR)
+                     || E'\\r\\n\\r\\n' || meta || E'\\r\\n\\r\\n' AS record
+              FROM (SELECT doc_id, url, dt,
+                           md5(url || chr(10) || dt || '#metadata') AS mh,
+                           md5(url || chr(10) || dt) AS rh,
+                           '{{"Content-Length":'
+                           || CAST(octet_length(encode(body)) AS VARCHAR)
+                           || ',"Content-Type":"' || mime
+                           || '","Links":[],"Payload-Digest":"md5:'
+                           || md5(body) || '","Status":'
+                           || CAST(status AS VARCHAR)
+                           || ',"URL":"' || url || '"}}' AS meta
                     FROM parts))
         """,
         # both WARC framings (response for originals, header-only revisit

@@ -229,29 +229,44 @@ def warc_record_auto(url: Column, date: Column, status: Column,
     ).otherwise(warc_record(url, date, status, content_type, body))
 
 
-def warc_conversion_record(url: Column, date: Column, text: Column) -> Column:
-    """A WARC/1.0 ``conversion`` record (the WET convention: the
-    extracted plain text of a stored capture) as BINARY.  The record id
-    is salted with ``#conversion`` so it never collides with the source
-    response record's id (same url+date); ``WARC-Refers-To`` carries the
-    UNSALTED id, i.e. the response record this text was extracted from."""
+def _derived_record(url: Column, date: Column, text: Column,
+                    rtype: str, ctype: str) -> Column:
+    """Shared framing for records DERIVED from a stored capture
+    (conversion/metadata — the WET/WAT shapes): the record id is salted
+    with ``#<rtype>`` so it never collides with the source response
+    record's id (same url+date); ``WARC-Refers-To`` carries the UNSALTED
+    id, i.e. the response record this was derived from."""
     body = F.encode(F.coalesce(text, F.lit("")), "UTF-8")
     warc_head = F.concat(
         F.lit("WARC/1.0" + CRLF),
-        F.lit("WARC-Type: conversion" + CRLF),
+        F.lit(f"WARC-Type: {rtype}" + CRLF),
         F.lit("WARC-Record-ID: <"),
-        record_uuid(url, F.concat(date, F.lit("#conversion"))),
+        record_uuid(url, F.concat(date, F.lit(f"#{rtype}"))),
         F.lit(">" + CRLF),
         F.lit("WARC-Date: "), date, F.lit(CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
         F.lit("WARC-Refers-To: <"), record_uuid(url, date), F.lit(">" + CRLF),
         F.lit("WARC-Payload-Digest: md5:"), F.md5(body), F.lit(CRLF),
-        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit(f"Content-Type: {ctype}" + CRLF),
         F.lit("Content-Length: "),
         F.octet_length(body).cast("string"), F.lit(CRLF + CRLF),
     )
     return F.concat(F.encode(warc_head, "UTF-8"), body,
                     F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+
+
+def warc_conversion_record(url: Column, date: Column, text: Column) -> Column:
+    """A WARC/1.0 ``conversion`` record (the WET convention: the
+    extracted plain text of a stored capture) as BINARY."""
+    return _derived_record(url, date, text, "conversion", "text/plain")
+
+
+def warc_metadata_record(url: Column, date: Column, json_str: Column) -> Column:
+    """A WARC/1.0 ``metadata`` record (the WAT convention: a JSON
+    envelope describing a stored capture — status, mime, outlinks) as
+    BINARY."""
+    return _derived_record(url, date, json_str, "metadata",
+                           "application/json")
 
 
 def cdx_offsets(df: DataFrame, file_col: str = "warc_file",

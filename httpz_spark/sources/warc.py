@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from httpz_spark.functions.warcx import (mark_revisits, surt_key,
-                                         warc_conversion_record, warc_record,
+                                         warc_conversion_record,
+                                         warc_metadata_record, warc_record,
                                          warc_record_auto)
 
 CDX_SCHEMA = (
@@ -287,6 +288,75 @@ def write_wet(records: DataFrame, path: str, n_files: int = 8,
                          ext=ext)
 
 
+WAT_STAGE_SCHEMA = "url string, date string, meta string"
+
+
+def wat_from_warc(records: DataFrame) -> DataFrame:
+    """Metadata extraction for WAT derivation: response records only,
+    one Arrow stage.  Emits a deterministic JSON envelope per capture
+    (sorted keys, no whitespace): HTTP status, content type, payload
+    digest, body length, and for HTML bodies the extracted outlinks
+    (the same link extractor the crawl's discovery path uses).  Returns
+    (url, date, meta)."""
+    src = (records.filter(F.col("warc_type") == "response")
+           .select(F.col("target_uri").alias("url"), F.col("date"),
+                   F.col("http_status").alias("status"),
+                   F.col("http_content_type").alias("ctype"),
+                   F.col("payload_digest").alias("digest"),
+                   F.col("body")))
+
+    def _extract(batches):
+        import json as _json
+
+        import pyarrow as pa
+
+        from httpz_spark.functions.htmlx import extract_links
+
+        for rb in batches:
+            urls, dates, statuses, ctypes, digests, bodies = (
+                rb.column(i).to_pylist() for i in range(6))
+            out = ([], [], [])
+            for u, d, s, c, dg, b in zip(urls, dates, statuses, ctypes,
+                                         digests, bodies):
+                links = []
+                if b is not None and "html" in (c or "").lower():
+                    links = extract_links(
+                        b.decode("utf-8", errors="replace"), u)
+                meta = _json.dumps(
+                    {"Content-Length": len(b) if b is not None else 0,
+                     "Content-Type": c, "Links": links,
+                     "Payload-Digest": dg, "Status": s, "URL": u},
+                    sort_keys=True, separators=(",", ":"))
+                out[0].append(u)
+                out[1].append(d)
+                out[2].append(meta)
+            if out[0]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(a, pa.string()) for a in out],
+                    names=["url", "date", "meta"])
+
+    return src.mapInArrow(_extract, WAT_STAGE_SCHEMA)
+
+
+def write_wat(records: DataFrame, path: str, n_files: int = 8,
+              compress: bool = True) -> DataFrame:
+    """Derive and write the WAT companion archive (JSON ``metadata``
+    records — Common Crawl's third product next to WARC and WET) from a
+    :func:`read_warc` frame; returns the CDX index frame."""
+    ext = ".warc.wat.gz" if compress else ".warc.wat"
+    t = wat_from_warc(records)
+    rec = t.select(
+        surt_key(F.col("url")).alias("surt"), "url", "date",
+        F.lit(None).cast("int").alias("status"),
+        F.lit("application/json").alias("mime"),
+        F.md5(F.encode(F.col("meta"), "UTF-8")).alias("digest"),
+        warc_file_assign(F.col("url"), n_files).alias("warc_file"),
+        warc_metadata_record(F.col("url"), F.col("date"),
+                             F.col("meta")).alias("record"))
+    return write_records(rec, path, n_files=n_files, compress=compress,
+                         ext=ext)
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
@@ -359,7 +429,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     # exact-extension glob: never matches ".inprogress" temps a killed
     # writer left behind (those may hold duplicate/truncated members)
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(path, "*.{warc,warc.gz,warc.wet,warc.wet.gz}"))
+             .load(os.path.join(
+                 path, "*.{warc,warc.gz,warc.wet,warc.wet.gz,"
+                       "warc.wat,warc.wat.gz}"))
              .select("path", "content"))
 
     def _parse(batches):

@@ -485,3 +485,41 @@ def test_multi_capture_layout_is_deterministic(spark, tmp_path):
         return {f: hashlib.md5(open(os.path.join(p, f), "rb").read())
                 .hexdigest() for f in sorted(os.listdir(p))}
     assert digests(a) == digests(b)
+
+
+# ------------------------------------------------------------------- wat
+
+def test_wat_derivation_roundtrip(spark, tmp_path):
+    import json
+
+    from httpz_spark.sources.warc import write_wat
+
+    rows = [
+        ("https://a.example/page", "2026-01-01T00:00:00Z", 200, "text/html",
+         b"<html><body><a href='/rel'>r</a>"
+         b"<a href='https://b.example/abs'>a</a></body></html>"),
+        ("https://a.example/img", "2026-01-01T00:00:00Z", 200,
+         "image/png", b"\x89PNG\x00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, date string, status int, content_type string, "
+              "body binary")
+    warc_p, wat_p = str(tmp_path / "warc"), str(tmp_path / "wat")
+    write_warc(df, warc_p, n_files=1).collect()
+    src = read_warc(spark, warc_p)
+    cdx = write_wat(src, wat_p, n_files=1).collect()
+    assert len(cdx) == 2  # WAT covers EVERY response (binary too)
+    assert all(r["mime"] == "application/json" for r in cdx)
+
+    back = {r["target_uri"]: r for r in read_warc(spark, wat_p).collect()}
+    assert len(back) == 2
+    src_ids = {r["target_uri"]: r["record_id"] for r in src.collect()}
+    page = json.loads(bytes(back["https://a.example/page"]["body"]).decode())
+    assert page["Status"] == 200
+    assert page["Links"] == ["https://a.example/rel", "https://b.example/abs"]
+    assert page["Payload-Digest"].startswith("md5:")
+    img = json.loads(bytes(back["https://a.example/img"]["body"]).decode())
+    assert img["Links"] == [] and img["Content-Type"] == "image/png"
+    for url, r in back.items():
+        assert r["warc_type"] == "metadata"
+        assert r["refers_to"] == src_ids[url]
