@@ -523,3 +523,43 @@ def test_wat_derivation_roundtrip(spark, tmp_path):
     for url, r in back.items():
         assert r["warc_type"] == "metadata"
         assert r["refers_to"] == src_ids[url]
+
+
+def test_wat_links_feed_host_pagerank(spark, tmp_path):
+    # archive -> frontier-priority composition: the WAT link graph turns
+    # into host_pagerank edges with two native expressions (host of the
+    # capture, host of each outlink) — hub host h0 is linked by all
+    # others and must rank first
+    import json
+
+    from httpz_spark.operators.linkrank import host_pagerank
+    from httpz_spark.sources.warc import wat_from_warc
+
+    rows = []
+    for i in range(12):
+        h = f"h{i % 4}.example"
+        # every page links to the hub h0 and to its right neighbor
+        body = (f"<html><body><a href='https://h0.example/'>hub</a>"
+                f"<a href='https://h{(i + 1) % 4}.example/p'>n</a>"
+                f"</body></html>").encode()
+        rows.append((f"https://{h}/p/{i}", "2026-06-01T00:00:00Z", 200,
+                     "text/html", body))
+    df = spark.createDataFrame(
+        rows, "url string, date string, status int, content_type string, "
+              "body binary")
+    warc_p = str(tmp_path / "warc")
+    write_warc(df, warc_p, n_files=1).collect()
+
+    wat = wat_from_warc(read_warc(spark, warc_p))
+    edges = wat.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("src"),
+        F.explode(F.from_json("meta", "struct<Links:array<string>>")
+                  .getField("Links")).alias("link"),
+    ).select(
+        "src",
+        F.regexp_extract("link", r"^https?://([^/]+)", 1).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+    ranks = host_pagerank(edges, iters=3).collect()
+    top = max(ranks, key=lambda r: r["rank"])
+    assert top["host"] == "h0.example"
