@@ -563,3 +563,44 @@ def test_wat_links_feed_host_pagerank(spark, tmp_path):
     ranks = host_pagerank(edges, iters=3).collect()
     top = max(ranks, key=lambda r: r["rank"])
     assert top["host"] == "h0.example"
+
+
+def test_archived_image_payloads_keep_psnr_invariant(spark, tmp_path):
+    # axes A+B composition: image payload bytes that cross the archive
+    # boundary (write_warc -> read_warc) must still satisfy the
+    # north-rule per-row invariant (decode + PSNR>=40dB + caption +
+    # phash) when swapped back into the results frame
+    from httpz_spark.config import ScanConfig
+    from httpz_spark.operators.multimodal import validate_payloads
+    from httpz_spark.plans.scan import scan_plan
+    from httpz_spark.sources import fabric as FB
+    from httpz_spark.sources import synthetic as SYN
+
+    world = FB.FabricConfig(n_images=24, n_hosts=6).with_certs()
+    res = scan_plan(
+        spark, SYN.seeds_df(spark, SYN.seed_domain_lines(world)),
+        SYN.images_df(spark, world, 2), SYN.dns_df(spark, world),
+        ScanConfig.all_on(), world, include_payload=True,
+    )
+    res = res.localCheckpoint()  # one fetch, reused below
+
+    payload = res.filter(F.col("bytes").isNotNull()).select(
+        F.col("url"), F.lit("2026-07-01T00:00:00Z").alias("date"),
+        F.col("status"), F.lit("application/octet-stream")
+        .alias("content_type"), F.col("bytes").alias("body"))
+    n_payload = payload.count()
+    assert n_payload > 0
+    path = str(tmp_path / "imgarch")
+    write_warc(payload, path, n_files=2, compress=True).collect()
+
+    back = read_warc(spark, path).select(
+        F.col("target_uri").alias("url"),
+        F.col("body").alias("archived_bytes"))
+    swapped = (res.drop("bytes")
+               .join(back, "url", "left")
+               .withColumnRenamed("archived_bytes", "bytes"))
+    out = [r for r in validate_payloads(swapped, world).collect()
+           if r["valid"] is not None]
+    assert len(out) == n_payload
+    assert all(r["valid"] for r in out)
+    assert all(r["psnr_db"] >= 40.0 for r in out)
