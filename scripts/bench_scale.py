@@ -51,6 +51,10 @@ QUERIES = [
     # deliberate cross-replica dup family)
     "pii_scrub", "domain_mix", "seq_pack", "image_pair_filter",
     "c4_line_filters", "c4_clean", "training_shard_curated",
+    # round-6 session 7: WARC framing family (map-only natives + the
+    # surt_cdx / revisit windows — replicas add disjoint urls/surt keys)
+    "warc_records", "surt_cdx", "warc_revisit", "wet_records",
+    "wat_records",
 ]
 
 
