@@ -417,6 +417,30 @@ def q_wat_records(spark, sf_dir):
         F.md5(rec).alias("record_md5"))
 
 
+def q_cdx_lookup(spark, sf_dir):
+    # wayback timestamp resolution (warcx.cdx_closest): two captures per
+    # doc at months (doc%3+1) and (doc%3+2), resolved at ts=2026-02-20 —
+    # docs with both captures before ts pick the SECOND (latest-before),
+    # docs with one pick the first, docs with none before pick the
+    # earliest-after; all three branches fire.  REAL SQL window oracle.
+    from httpz_spark.functions.warcx import cdx_closest
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("cap"))
+    month = (F.col("doc_id") % 3 + 1 + F.col("cap")).cast("int")
+    frame = d.select(
+        "doc_id", "cap",
+        F.concat(F.lit("example,h"), (F.col("doc_id") % 11).cast("string"),
+                 F.lit(")/r/"), F.col("doc_id").cast("string")).alias("surt"),
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 11).cast("string"),
+                 F.lit(".example/r/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("2026-"), F.lpad(month.cast("string"), 2, "0"),
+                 F.lit("-15T00:00:00Z")).alias("date"))
+    return cdx_closest(frame, "2026-02-20T00:00:00Z").select(
+        "doc_id", "cap", "surt", "url", "date")
+
+
 def q_warc_revisit(spark, sf_dir):
     # archive-level recrawl dedup (warcx.mark_revisits + the WARC
     # revisit-record framing): two capture epochs per doc, the body
@@ -1700,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit": _shipped(q_warc_revisit),
         "wet_records": _shipped(q_wet_records),
         "wat_records": _shipped(q_wat_records),
+        "cdx_lookup": _shipped(q_cdx_lookup),
         "image_pair_filter": _shipped(q_image_pair_filter),
         "c4_line_filters": _shipped(q_c4_line_filters),
         "c4_clean": _shipped(q_c4_clean),
@@ -2394,6 +2419,30 @@ def oracle_sql() -> dict[str, str]:
                            md5(url || chr(10) || dt || '#conversion') AS ch,
                            md5(url || chr(10) || dt) AS rh
                     FROM parts))
+        """,
+        # wayback resolution window replayed: before-group first (bool
+        # DESC), latest-before via the CASE key (NULLS LAST matches
+        # Spark's desc default), earliest-after via the ASC fallthrough
+        "cdx_lookup": """
+            WITH caps AS (
+              SELECT doc_id, cap,
+                     'example,h' || CAST(doc_id % 11 AS VARCHAR)
+                       || ')/r/' || CAST(doc_id AS VARCHAR) AS surt,
+                     'https://h' || CAST(doc_id % 11 AS VARCHAR)
+                       || '.example/r/' || CAST(doc_id AS VARCHAR) AS url,
+                     '2026-' || lpad(CAST(doc_id % 3 + 1 + cap AS VARCHAR),
+                                     2, '0') || '-15T00:00:00Z' AS date
+              FROM documents CROSS JOIN (VALUES (0), (1)) AS e(cap)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY surt ORDER BY
+                    (date <= '2026-02-20T00:00:00Z') DESC,
+                    CASE WHEN date <= '2026-02-20T00:00:00Z'
+                         THEN date END DESC NULLS LAST,
+                    date ASC, url ASC) AS rn
+              FROM caps)
+            SELECT doc_id, cap, surt, url, date
+            FROM ranked WHERE rn = 1
         """,
         # WAT metadata framing: the native JSON envelope + the
         # '#metadata'-salted derived-record frame, byte-for-byte

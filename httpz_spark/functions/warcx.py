@@ -269,6 +269,30 @@ def warc_metadata_record(url: Column, date: Column, json_str: Column) -> Column:
                            "application/json")
 
 
+def cdx_closest(cdx: DataFrame, ts: str, surt_col: str = "surt",
+                date_col: str = "date", url_col: str = "url") -> DataFrame:
+    """Wayback-style timestamp resolution over a CDX index: for each
+    SURT key return ONE capture — the latest at-or-before ``ts``, else
+    (key only has later captures) the earliest after it.  W3C datetimes
+    compare chronologically as strings, so no timestamp parsing (and no
+    session-timezone dependence).  One window whose shuffle key is the
+    surt — a 10^10-capture index resolves with a single exchange.
+
+    Ties on date break by (url, then the remaining columns' arbitrary-
+    but-deterministic row_number ordering is avoided: url is unique per
+    (surt, date) in a CDX laid out by this module's writer)."""
+    before = (F.col(date_col) <= F.lit(ts)).cast("int")
+    w = Window.partitionBy(surt_col).orderBy(
+        before.desc(),
+        # before-group: latest first; after-group (the when() is NULL,
+        # sorted last within the group where all are NULL) falls through
+        # to the ascending date — earliest first
+        F.when(before == 1, F.col(date_col)).desc(),
+        F.col(date_col).asc(), F.col(url_col).asc())
+    return (cdx.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def cdx_offsets(df: DataFrame, file_col: str = "warc_file",
                 length_col: str = "record_length",
                 surt_col: str = "surt",

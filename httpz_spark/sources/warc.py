@@ -357,6 +357,22 @@ def write_wat(records: DataFrame, path: str, n_files: int = 8,
                          ext=ext)
 
 
+def fetch_record(path: str, warc_file: str, offset: int,
+                 length: int) -> tuple[dict, bytes]:
+    """Random access: seek ONE record out of an archive using its CDX
+    row — the lookup the index exists for.  Reads ``length`` bytes at
+    ``offset`` (a gzip member for ``.gz`` archives, raw framing
+    otherwise), parses it, and returns (warc_headers, payload).  Pure
+    driver-side file IO: O(record), never scans the archive."""
+    with open(os.path.join(path, warc_file), "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    if raw[:2] == b"\x1f\x8b":
+        raw = next(_gzip_members(raw))[1]
+    _, _, hdrs, payload = next(_parse_records(raw))
+    return hdrs, payload
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------

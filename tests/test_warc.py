@@ -604,3 +604,64 @@ def test_archived_image_payloads_keep_psnr_invariant(spark, tmp_path):
     assert len(out) == n_payload
     assert all(r["valid"] for r in out)
     assert all(r["psnr_db"] >= 40.0 for r in out)
+
+
+# ----------------------------------------------------------- cdx lookup
+
+def test_cdx_closest_and_fetch_record(spark, tmp_path):
+    # wayback resolution + random access: resolve each surt at a mid
+    # timestamp (latest at-or-before, else earliest after), then seek
+    # the resolved record straight out of the archive via its CDX row
+    from httpz_spark.functions.warcx import cdx_closest
+    from httpz_spark.sources.warc import fetch_record
+
+    src = _epochs(spark).drop("u", "epoch")
+    path = str(tmp_path / "arch")
+    cdx_rows = write_warc(src, path, n_files=2, compress=True)
+    from pyspark.sql import Row
+    cdx = spark.createDataFrame(cdx_rows.collect())
+
+    ts = "2026-02-15T00:00:00Z"  # between epoch 1 (02-01) and 2 (03-01)
+    got = {r["surt"]: r for r in
+           cdx_closest(cdx, ts).collect()}
+
+    # python model
+    want = {}
+    for r in cdx.collect():
+        cur = want.setdefault(r["surt"], [])
+        cur.append(r)
+    for surt, rows in want.items():
+        before = [r for r in rows if r["date"] <= ts]
+        if before:
+            pick = max(before, key=lambda r: (r["date"], r["url"]))
+        else:
+            pick = min(rows, key=lambda r: (r["date"], r["url"]))
+        g = got[surt]
+        assert (g["date"], g["url"]) == (pick["date"], pick["url"]), surt
+
+    # every resolved row seeks to exactly the right capture
+    for surt, g in list(got.items())[:10]:
+        hdrs, payload = fetch_record(path, g["warc_file"], g["offset"],
+                                     g["length"])
+        assert hdrs["warc-target-uri"] == g["url"]
+        assert hdrs["warc-date"] == g["date"]
+        assert hashlib.md5(payload.split(b"\r\n\r\n", 1)[1]).hexdigest() \
+            == g["digest"]
+
+
+def test_cdx_closest_plans_window_group_limit(spark):
+    # scale shape: Catalyst's WindowGroupLimit prunes to the per-surt
+    # winner MAP-SIDE, so only one row per key rides the shuffle — at a
+    # 10^10-capture index the exchange carries |surts| rows, not rows
+    from httpz_spark.functions.warcx import cdx_closest
+
+    cdx = spark.range(1000).select(
+        (F.col("id") % 100).cast("string").alias("surt"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("2026-01-"),
+                 F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("T00:00:00Z")).alias("date"))
+    plan = cdx_closest(cdx, "2026-01-15T00:00:00Z") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
