@@ -357,6 +357,31 @@ def write_wat(records: DataFrame, path: str, n_files: int = 8,
                          ext=ext)
 
 
+def make_warc_batch_handler(path: str, n_files: int = 4,
+                            compress: bool = True, revisits: bool = False):
+    """``foreachBatch`` archive sink for a streaming crawl: each
+    micro-batch (capture-frame schema — url/date/status/content_type/
+    body) archives under ``<path>/batch_id=N/`` with its CDX partition
+    at ``<path>/cdx/batch_id=N``.
+
+    Exactly-once under Structured Streaming's redelivery without any
+    coordination: framing is fully hash-derived and the writer's layout
+    is a total order, so a replayed batch rewrites every archive file
+    BYTE-IDENTICALLY (os.replace atomic swap) and overwrites its own
+    CDX partition — tested by calling the handler twice with one
+    batch_id.  ``revisits`` collapses repeats WITHIN a batch; cross-
+    batch revisit collapse belongs in a downstream compaction that joins
+    prior CDX digests (the per-batch handler stays stateless)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(path, f"batch_id={batch_id}")
+        cdx = write_warc(batch_df, out, n_files=n_files,
+                         compress=compress, revisits=revisits)
+        (cdx.write.mode("overwrite")
+            .parquet(os.path.join(path, "cdx", f"batch_id={batch_id}")))
+
+    return handle
+
+
 def fetch_record(path: str, warc_file: str, offset: int,
                  length: int) -> tuple[dict, bytes]:
     """Random access: seek ONE record out of an archive using its CDX
