@@ -311,8 +311,27 @@ class CrawlEngine:
             )
             self.store.merge_upsert("template_counts", tpl, key="tpl_key")
 
-        # MERGE results + seen (idempotent on url_hash)
-        self.store.merge_upsert("results", out, key="url_hash")
+        # per-partition fetch lineage (north rule: partition-granular
+        # metrics checkpoint next to the wave-level lineage): derived from
+        # the STAGED wave output, so a crash-rerun re-derives byte-equal
+        # rows and the MERGE on (wave, partition) is idempotent
+        plineage = (
+            out.groupBy("fetch_part")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("error_type").alias("n_errors"),
+                 F.sum("latency_ms").alias("latency_ms_sum"),
+                 F.max("latency_ms").alias("latency_ms_max"))
+            .withColumn("wave_id", F.lit(wave_id).cast("int"))
+            .withColumn("wp_key", F.concat_ws(
+                "\x00", F.lit(str(wave_id)),
+                F.col("fetch_part").cast("string")))
+        )
+        self.store.merge_upsert("partition_lineage", plineage, key="wp_key")
+
+        # MERGE results + seen (idempotent on url_hash); fetch_part is a
+        # lineage-only column — results keep their established schema
+        self.store.merge_upsert("results", out.drop("fetch_part"),
+                                key="url_hash")
         seen_rows = out.select(
             "url_hash", "url_canon", F.lit(wave_id).alias("first_wave")
         )
@@ -575,6 +594,11 @@ class CrawlEngine:
             "scan_target", "port", "proto_first", "proto_second",
         )
         out = fetch_in.mapInPandas(stage, schema=fetch_output_schema(pass_schema))
+        # partition id of the FETCH task, captured before the payload join
+        # can move rows — feeds the per-partition lineage table; the value
+        # lands in the staged wave output, so resume reads the recorded
+        # ids instead of recomputing them
+        out = out.withColumn("fetch_part", F.spark_partition_id())
         if ecfg.include_payload:
             out = out.join(
                 self.images.select(
