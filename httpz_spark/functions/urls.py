@@ -90,6 +90,11 @@ def canonicalize_url(c: Column, default_scheme: str = "https") -> Column:
     # decompose: hostport | path | query | (fragment dropped).  (?s) so URLs
     # containing embedded newlines decompose identically to python urlsplit.
     hostport = F.regexp_extract(rest, r"(?s)^([^/?#]*)", 1)
+    # drop userinfo (user:pass@) per urlsplit semantics (host follows the
+    # LAST '@' in the authority) — otherwise the first-':' split below
+    # takes the username for the host and politeness/dedup keys collapse
+    # distinct hosts (the crawl-tier sibling of surt_key's fix)
+    hostport = F.regexp_replace(hostport, r"(?s)^.*@", "")
     path = F.regexp_extract(rest, r"(?s)^[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"(?s)^[^?#]*\?([^#]*)", 1)

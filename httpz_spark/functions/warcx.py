@@ -72,8 +72,10 @@ def surt_key(url: Column) -> Column:
     rest = F.regexp_replace(raw, _SCHEME_RE, "")
     hostport = F.lower(F.regexp_extract(rest, r"(?s)^([^/?#]*)", 1))
     # drop userinfo (user:pass@) — otherwise the first ':' split would
-    # take the username for the host and collapse distinct hosts
-    hostport = F.regexp_replace(hostport, r"^[^/@]*@", "")
+    # take the username for the host and collapse distinct hosts; host
+    # follows the LAST '@' (urlsplit semantics, same rule as
+    # canonicalize_url's shared decomposition)
+    hostport = F.regexp_replace(hostport, r"(?s)^.*@", "")
     path = F.lower(F.regexp_extract(rest, r"(?s)^[^/?#]*([^?#]*)", 1))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.lower(F.regexp_extract(rest, r"(?s)^[^?#]*\?([^#]*)", 1))

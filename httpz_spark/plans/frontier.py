@@ -314,24 +314,29 @@ class CrawlEngine:
         # per-partition fetch lineage (north rule: partition-granular
         # metrics checkpoint next to the wave-level lineage): derived from
         # the STAGED wave output, so a crash-rerun re-derives byte-equal
-        # rows and the MERGE on (wave, partition) is idempotent
-        plineage = (
-            out.groupBy("fetch_part")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.count("error_type").alias("n_errors"),
-                 F.sum("latency_ms").alias("latency_ms_sum"),
-                 F.max("latency_ms").alias("latency_ms_max"))
-            .withColumn("wave_id", F.lit(wave_id).cast("int"))
-            .withColumn("wp_key", F.concat_ws(
-                "\x00", F.lit(str(wave_id)),
-                F.col("fetch_part").cast("string")))
-        )
-        self.store.merge_upsert("partition_lineage", plineage, key="wp_key")
+        # rows and the MERGE on (wave, partition) is idempotent.  Staging
+        # written by a pre-partition-lineage build lacks the column —
+        # degrade to wave-level lineage only (same discipline as the
+        # staging_meta fallback above) instead of wedging the resume.
+        if "fetch_part" in out.columns:
+            plineage = (
+                out.groupBy("fetch_part")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count("error_type").alias("n_errors"),
+                     F.sum("latency_ms").alias("latency_ms_sum"),
+                     F.max("latency_ms").alias("latency_ms_max"))
+                .withColumn("wave_id", F.lit(wave_id).cast("int"))
+                .withColumn("wp_key", F.concat_ws(
+                    "\x00", F.lit(str(wave_id)),
+                    F.col("fetch_part").cast("string")))
+            )
+            self.store.merge_upsert("partition_lineage", plineage,
+                                    key="wp_key")
+            out = out.drop("fetch_part")
 
         # MERGE results + seen (idempotent on url_hash); fetch_part is a
         # lineage-only column — results keep their established schema
-        self.store.merge_upsert("results", out.drop("fetch_part"),
-                                key="url_hash")
+        self.store.merge_upsert("results", out, key="url_hash")
         seen_rows = out.select(
             "url_hash", "url_canon", F.lit(wave_id).alias("first_wave")
         )

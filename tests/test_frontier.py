@@ -304,3 +304,32 @@ def test_partition_lineage_consistent_and_resume_exact(spark, world, tmp_path):
         eng3.store.read("partition_lineage"),
         ["wp_key", "n_rows", "n_errors", "latency_ms_sum",
          "latency_ms_max"]) == want
+
+
+def test_resume_from_pre_partition_lineage_staging(spark, world, tmp_path):
+    """Cross-version resume: staging written by a build WITHOUT the
+    fetch_part column (pre-partition-lineage layout) must still merge —
+    degrade to wave lineage only, never wedge the resume."""
+    state = str(tmp_path / "old_staging")
+    eng = make_engine(spark, world, state)
+    eng.init_frontier(seed_df(spark, world))
+
+    # stage wave 0 the way run_wave does, but with the old output layout
+    frontier = eng.store.read("frontier")
+    n_ready = frontier.count()
+    scheduled, deferred = eng._schedule(frontier)
+    from httpz_spark.plans.frontier import FRONTIER_COLS
+    eng.store.write("wave0_deferred", deferred.select(*FRONTIER_COLS))
+    eng.store.write("wave0_meta", spark.createDataFrame(
+        [(int(n_ready),)], "n_ready long"))
+    eng.store.write("wave0_out", eng._fetch(scheduled, 0).drop("fetch_part"))
+
+    summary = eng.run_wave(0)  # resume path: staging exists, no re-fetch
+    assert summary["n_fetched"] > 0
+    assert eng.store.read("results").count() == summary["n_fetched"]
+    assert eng.store.read("partition_lineage") is None  # degraded, not wedged
+
+    # the NEXT wave (fresh staging, new layout) records partition lineage
+    eng.run_wave(1)
+    pl = eng.store.read("partition_lineage")
+    assert pl is not None and all(r["wave_id"] == 1 for r in pl.collect())
