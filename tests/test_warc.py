@@ -550,15 +550,10 @@ def test_wat_links_feed_host_pagerank(spark, tmp_path):
     warc_p = str(tmp_path / "warc")
     write_warc(df, warc_p, n_files=1).collect()
 
+    from httpz_spark.sources.warc import wat_outlink_edges
+
     wat = wat_from_warc(read_warc(spark, warc_p))
-    edges = wat.select(
-        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("src"),
-        F.explode(F.from_json("meta", "struct<Links:array<string>>")
-                  .getField("Links")).alias("link"),
-    ).select(
-        "src",
-        F.regexp_extract("link", r"^https?://([^/]+)", 1).alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
+    edges = wat_outlink_edges(wat)
 
     ranks = host_pagerank(edges, iters=3).collect()
     top = max(ranks, key=lambda r: r["rank"])
