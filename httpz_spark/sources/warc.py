@@ -399,6 +399,109 @@ def make_warc_batch_handler(path: str, n_files: int = 4,
     return handle
 
 
+def batch_cdx_with_paths(spark: SparkSession, arch_root: str) -> DataFrame:
+    """Load a streaming archive's CDX partitions (``<root>/cdx``) and
+    attach each row's absolute source path
+    (``<root>/batch_id=N/<warc_file>``) — the input shape
+    :func:`compact_warc` consumes."""
+    cdx = spark.read.parquet(os.path.join(arch_root, "cdx"))
+    return cdx.withColumn(
+        "src_path",
+        F.concat(F.lit(arch_root + os.sep + "batch_id="),
+                 F.col("batch_id").cast("string"), F.lit(os.sep),
+                 F.col("warc_file")))
+
+
+def compact_warc(cdx: DataFrame, dst: str, n_files: int = 8) -> DataFrame:
+    """Fold many small archives (a streaming run's ``batch_id=N`` dirs,
+    a too-granular crawl) into ``n_files`` consolidated ones — the
+    archive analogue of the seen-store/StateStore compaction that keeps
+    long-running jobs' file counts bounded.
+
+    Input: a CDX frame carrying ``src_path`` (absolute archive file per
+    row — see :func:`batch_cdx_with_paths`) plus the standard CDX
+    columns.  Records are copied as RAW member bytes via their
+    (offset, length) seek points — never decoded or re-framed — so
+    record ids, digests, and byte content are preserved exactly, and
+    gzip members remain individually seekable in the new files.  Rows
+    are co-located per destination file and laid out in CDX total order
+    (same keys as the writer), so compaction is deterministic: running
+    it twice produces byte-identical archives.  Returns the new CDX.
+
+    Scale shape: one shuffle keyed on the destination file; each task
+    streams O(record) bytes with an LRU of source file handles.  Source
+    files must be reachable from executors (shared filesystem — the
+    same requirement the writer already has)."""
+    os.makedirs(dst, exist_ok=True)
+    rec = (cdx.select("surt", "url", "date", "status", "mime", "digest",
+                      "record_length", "src_path", "offset", "length",
+                      warc_file_assign(F.col("url"), n_files)
+                      .alias("new_file"))
+              .repartition(n_files, "new_file")
+              .sortWithinPartitions("new_file", "surt", "url", "date",
+                                    "digest"))
+
+    def _copy(batches):
+        import pyarrow as pa
+
+        handles: dict = {}
+
+        def src(p):
+            if p not in handles:
+                if len(handles) >= 16:
+                    handles.popitem()[1].close()
+                handles[p] = open(p, "rb")
+            return handles[p]
+
+        cur_name, cur_f, out_rows = None, None, []
+
+        def flush():
+            if cur_name is None:
+                return
+            cur_f.close()
+            final = os.path.join(dst, cur_name)
+            os.replace(final + ".inprogress", final)
+
+        ext_holder = {}
+        for rb in batches:
+            cols = {n: rb.column(i).to_pylist()
+                    for i, n in enumerate(rb.schema.names)}
+            for j in range(rb.num_rows):
+                sp = cols["src_path"][j]
+                ext = ext_holder.setdefault(
+                    "ext", sp[sp.index(".warc"):])
+                name = cols["new_file"][j] + ext
+                if name != cur_name:
+                    flush()
+                    cur_name = name
+                    cur_f = open(os.path.join(dst, name) + ".inprogress",
+                                 "wb")
+                f = src(sp)
+                f.seek(cols["offset"][j])
+                member = f.read(cols["length"][j])
+                new_off = cur_f.tell()
+                cur_f.write(member)
+                out_rows.append((
+                    cols["surt"][j], cols["url"][j], cols["date"][j],
+                    cols["status"][j], cols["mime"][j], cols["digest"][j],
+                    name, new_off, len(member), cols["record_length"][j],
+                ))
+        flush()
+        for h in handles.values():
+            h.close()
+        if out_rows:
+            names = [f.strip().split(" ")[0] for f in CDX_SCHEMA.split(",")]
+            arrays = list(zip(*out_rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, type=t) for a, t in zip(arrays, [
+                    pa.string(), pa.string(), pa.string(), pa.int32(),
+                    pa.string(), pa.string(), pa.string(), pa.int64(),
+                    pa.int64(), pa.int64()])],
+                names=names)
+
+    return rec.mapInArrow(_copy, CDX_SCHEMA)
+
+
 def fetch_record(path: str, warc_file: str, offset: int,
                  length: int) -> tuple[dict, bytes]:
     """Random access: seek ONE record out of an archive using its CDX

@@ -722,3 +722,66 @@ def test_streaming_warc_sink_exactly_once(spark, tmp_path):
     handler(replay, bid)
     assert digests() == before
     assert spark.read.parquet(os.path.join(arch, "cdx")).count() == 30
+
+
+# ------------------------------------------------------------ compaction
+
+def test_compact_warc_streaming_batches(spark, tmp_path):
+    # fold a streaming run's per-batch dirs into consolidated archives:
+    # record bytes / ids / digests preserved exactly, offsets seekable,
+    # and compaction is deterministic (run twice -> identical bytes)
+    import hashlib
+
+    from httpz_spark.sources.warc import (batch_cdx_with_paths,
+                                          compact_warc, fetch_record,
+                                          make_warc_batch_handler)
+
+    arch = str(tmp_path / "stream")
+    handler = make_warc_batch_handler(arch, n_files=3)
+    for bid, (lo, hi) in enumerate([(0, 25), (25, 40), (40, 55)]):
+        df = spark.createDataFrame(
+            [(f"https://c.example/{i}", "2026-08-01T00:00:00Z", 200,
+              "text/plain", f"body-{i}".encode()) for i in range(lo, hi)],
+            "url string, date string, status int, content_type string, "
+            "body binary")
+        handler(df, bid)
+    n_src_files = sum(
+        1 for d in os.listdir(arch) if d.startswith("batch_id=")
+        for _f in os.listdir(os.path.join(arch, d)))
+    assert n_src_files == 9  # 3 batches x 3 files
+
+    cdx = batch_cdx_with_paths(spark, arch)
+    assert cdx.count() == 55
+
+    dst = str(tmp_path / "compacted")
+    new_cdx = spark.createDataFrame(
+        compact_warc(cdx, dst, n_files=2).collect())
+    files = sorted(os.listdir(dst))
+    assert len(files) == 2 and all(f.endswith(".warc.gz") for f in files)
+
+    # full fidelity: same records, ids and digests, via the reader...
+    src_by_url = {r["target_uri"]: r for d in os.listdir(arch)
+                  if d.startswith("batch_id=")
+                  for r in read_warc(spark, os.path.join(arch, d)).collect()}
+    back = read_warc(spark, dst).collect()
+    assert len(back) == 55
+    for r in back:
+        s = src_by_url[r["target_uri"]]
+        assert r["record_id"] == s["record_id"]
+        assert r["payload_digest"] == s["payload_digest"]
+        assert bytes(r["body"]) == bytes(s["body"])
+
+    # ...and the new CDX offsets are direct seek points
+    for row in new_cdx.collect()[:8]:
+        hdrs, payload = fetch_record(dst, row["warc_file"], row["offset"],
+                                     row["length"])
+        assert hdrs["warc-target-uri"] == row["url"]
+
+    # determinism: compact again into a second dir -> identical bytes
+    dst2 = str(tmp_path / "compacted2")
+    compact_warc(cdx.repartition(5), dst2, n_files=2).collect()
+    d1 = {f: hashlib.md5(open(os.path.join(dst, f), "rb").read()).hexdigest()
+          for f in files}
+    d2 = {f: hashlib.md5(open(os.path.join(dst2, f), "rb").read()).hexdigest()
+          for f in sorted(os.listdir(dst2))}
+    assert d1 == d2
