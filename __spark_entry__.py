@@ -756,14 +756,18 @@ def q_dsir_weights(spark, sf_dir):
     ``log w = sum cnt_b * (ln p_b - ln q_b)`` with DECIMAL-quantized
     summands.  The B-row LLR table BROADCASTS — scoring is a map-only
     gram explode + broadcast join + one map-side-combined groupBy."""
-    from httpz_spark.operators.dsir import dsir_logweights
+    from httpz_spark.operators.dsir import dsir_logweights, round_binary
 
     d = _t(spark, sf_dir, "documents")
     target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
     return dsir_logweights(d, target).select(
         "doc_id",
-        F.col("n_feats").cast("long").alias("n_feats"),
-        F.round("log_w", 6).alias("log_w"),
+        # double, matching the oracle: DuckDB sum(BIGINT) is HUGEINT,
+        # which lands in pandas as float64 (r6 driver-gate finding #1)
+        F.col("n_feats").cast("double").alias("n_feats"),
+        # binary-double rounding (DuckDB semantics) — the DECIMAL(·,9)
+        # sum can land exactly on a 6-decimal midpoint (doc 4225 @ sf0.1)
+        round_binary(F.col("log_w"), 6).alias("log_w"),
     )
 
 
@@ -773,15 +777,16 @@ def q_dsir_select(spark, sf_dir):
     uniforms — partitioning-independent, exactly resumable, and
     SQL-replayable).  Plans as TakeOrderedAndProject: per-partition
     top-k, k-row driver merge, no global sort shuffle."""
-    from httpz_spark.operators.dsir import dsir_resample
+    from httpz_spark.operators.dsir import dsir_resample, round_binary
 
     d = _t(spark, sf_dir, "documents")
     target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
     sel = dsir_resample(d, target, k=100)
     return sel.select(
         "doc_id",
-        F.col("n_feats").cast("long").alias("n_feats"),
-        F.round(F.col("log_w").cast("double"), 6).alias("log_w"),
+        # double: oracle n_feats is a DuckDB HUGEINT sum -> pandas float64
+        F.col("n_feats").cast("double").alias("n_feats"),
+        round_binary(F.col("log_w").cast("double"), 6).alias("log_w"),
         F.round("score", 6).alias("score"),
     )
 
@@ -823,7 +828,12 @@ def q_exactsubstr(spark, sf_dir):
 
     return exactsubstr_clean(
         _exactsubstr_docs(spark, sf_dir), window_tokens=12
-    ).select("doc_id", "n_spans", "n_dup_tokens", "clean_text")
+    ).select(
+        "doc_id", "n_spans",
+        # double: oracle n_dup_tokens is a DuckDB HUGEINT sum -> float64
+        F.col("n_dup_tokens").cast("double").alias("n_dup_tokens"),
+        "clean_text",
+    )
 
 
 def q_host_pagerank(spark, sf_dir):
@@ -887,9 +897,10 @@ def q_aspect_batches(spark, sf_dir):
     out = aspect_bucket_batches(imgs, batch=8, n_shards=4)
     return out.select(
         "image_id",
-        F.col("bucket_idx").cast("long").alias("bucket_idx"),
-        F.col("bucket_w").cast("long").alias("bucket_w"),
-        F.col("bucket_h").cast("long").alias("bucket_h"),
+        # ints: the oracle emits these three as int32 (r6 finding #3)
+        F.col("bucket_idx").cast("int").alias("bucket_idx"),
+        F.col("bucket_w").cast("int").alias("bucket_w"),
+        F.col("bucket_h").cast("int").alias("bucket_h"),
         F.col("shard").cast("long").alias("shard"),
         F.col("batch_id").cast("long").alias("batch_id"),
     )
@@ -940,7 +951,10 @@ def q_training_shard_curated(spark, sf_dir):
     sampled = domain_quota_sample(hosts, quota=8)
     return seq_pack(sampled, ctx=1024, n_shards=8,
                     tokens_col="n_tokens").select(
-        "shard", "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        "shard", "bin_id", "n_docs",
+        # double: oracle n_tokens is a DuckDB HUGEINT sum -> float64
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "first_doc", "last_doc")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -963,7 +977,14 @@ def q_pii_scrub(spark, sf_dir):
     ).otherwise(F.col("text"))
     base = d.select("doc_id", injected.alias("text"))
     return pii_scrub(base).select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "n_cc",
+        "doc_id",
+        # longs: the oracle counts land as int64; width-normalize so one
+        # dtype-aware hasher tweak can't flip this query (r6 finding #3)
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_cc").cast("long").alias("n_cc"),
         "scrubbed")
 
 
@@ -977,7 +998,9 @@ def q_domain_mix(spark, sf_dir):
         "doc_id",
         F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
     )
-    return domain_quota_sample(d, quota=8).select("host", "doc_id", "samp_rank")
+    return domain_quota_sample(d, quota=8).select(
+        "host", "doc_id",
+        F.col("samp_rank").cast("long").alias("samp_rank"))
 
 
 def q_seq_pack(spark, sf_dir):
@@ -989,7 +1012,10 @@ def q_seq_pack(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return seq_pack(d, ctx=1024, n_shards=8).select(
-        "shard", "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        "shard", "bin_id", "n_docs",
+        # double: oracle n_tokens is a DuckDB HUGEINT sum -> float64
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "first_doc", "last_doc")
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -1025,8 +1051,9 @@ def q_image_pair_filter(spark, sf_dir):
         F.substring(_norm_col(), 1, 160).alias("caption"),
     )
     return image_pair_filter(meta).select(
-        "image_id", "w", "h", "fmt", "cap_tokens", "size_ok", "aspect_ok",
-        "fmt_ok", "cap_ok", "alpha_ok", "keep")
+        "image_id", "w", "h", "fmt",
+        F.col("cap_tokens").cast("long").alias("cap_tokens"),
+        "size_ok", "aspect_ok", "fmt_ok", "cap_ok", "alpha_ok", "keep")
 
 
 _C4_HEADER = (
@@ -1079,7 +1106,12 @@ def q_corpus_report(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return corpus_report(d).select(
-        "lang_pred", "n_docs", "n_tokens", "sum_quality_micro", "n_keep")
+        "lang_pred", "n_docs",
+        # doubles: these three oracle columns are DuckDB HUGEINT sums
+        # (n_docs is a count -> BIGINT -> int64, so it stays long)
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("sum_quality_micro").cast("double").alias("sum_quality_micro"),
+        F.col("n_keep").cast("double").alias("n_keep"))
 
 
 def q_c4_line_filters(spark, sf_dir):
@@ -1089,7 +1121,10 @@ def q_c4_line_filters(spark, sf_dir):
     from httpz_spark.operators.c4rules import c4_line_filters
 
     return c4_line_filters(_c4_docs(spark, sf_dir)).select(
-        "doc_id", "clean_text", "n_lines", "n_lines_kept", "n_sentences",
+        "doc_id", "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
         "has_brace", "has_lorem", "page_keep")
 
 
@@ -1101,7 +1136,9 @@ def q_c4_clean(spark, sf_dir):
     from httpz_spark.operators.c4rules import c4_clean
 
     return c4_clean(_c4_docs(spark, sf_dir)).select(
-        "doc_id", "dedup_text", "n_sentences", "n_sent_dropped")
+        "doc_id", "dedup_text",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "n_sent_dropped")
 
 
 def q_cosine_topk(spark, sf_dir):

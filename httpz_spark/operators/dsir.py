@@ -118,15 +118,29 @@ def dsir_llr_table(
     }
     t_total, r_total = sum(tc.values()), sum(rc.values())
     k = float(add_k)
-    counts = spark.createDataFrame(
-        [(b, tc.get(b, 0), rc.get(b, 0)) for b in range(buckets)],
-        "bucket long, tc long, rc long",
-    )
-    p = (F.col("tc").cast("double") + F.lit(k)) / F.lit(float(t_total) + k * buckets)
-    q = (F.col("rc").cast("double") + F.lit(k)) / F.lit(float(r_total) + k * buckets)
+    # The ln itself is evaluated HERE, in Python (C libm), over the
+    # already-collected counts — not as a JVM F.log expression.  JVM
+    # Math.log can differ from the C library log by 1 ulp, and when the
+    # true LLR sits on a round(·,9) boundary that ulp survives the
+    # DECIMAL quantization and diverges from any libm-based replayer
+    # (observed at sf0.1: doc 4225, round 6).  The quantizing F.round
+    # stays on the Spark side (proven to agree with SQL round on equal
+    # double inputs across lmfilter/qualityclf/linkrank).
+    import math
+
+    t_den, r_den = t_total + k * buckets, r_total + k * buckets
+    rows = [
+        (
+            b,
+            math.log((tc.get(b, 0) + k) / t_den)
+            - math.log((rc.get(b, 0) + k) / r_den),
+        )
+        for b in range(buckets)
+    ]
+    counts = spark.createDataFrame(rows, "bucket long, llr_d double")
     return counts.select(
         "bucket",
-        F.round(F.log(p) - F.log(q), 9).cast("decimal(20,9)").alias("llr"),
+        F.round(F.col("llr_d"), 9).cast("decimal(20,9)").alias("llr"),
     )
 
 
@@ -187,6 +201,24 @@ def dsir_logweights(
     )
 
 
+def round_binary(c: Column, scale: int) -> Column:
+    """``round(double, scale)`` with C-library semantics — round the
+    BINARY double (``std::round(x * 10^s) / 10^s``), which is what
+    DuckDB's ``round()`` does.  Spark's ``F.round(x, s)`` instead
+    HALF_UPs the *shortest decimal repr* of the double, and the two
+    disagree when that repr lands exactly on a midpoint: a
+    DECIMAL(·,9) sum of ``-16.672618500`` cast to double reprs as
+    ``-16.6726185`` → ``F.round(·,6)`` says ``…619`` while the binary
+    value is below the midpoint so DuckDB says ``…618`` (r6 driver-gate
+    divergence, doc 4225 @ sf0.1).  At scale 0 the two conventions
+    agree for EVERY double (a shortest repr ending in ``.5`` is exactly
+    representable, hence exactly ``.5``), so scaling first replicates
+    the C semantics bit-for-bit — property-tested against DuckDB over
+    250k values including the observed midpoint."""
+    p = float(10**scale)
+    return F.round(c * F.lit(p), 0) / F.lit(p)
+
+
 def gumbel_key(id_c: Column, log_w: Column, seed: str = "dsir") -> Column:
     """Deterministic Gumbel-perturbed score ``log_w + G(seed, id)``
     rounded to 6 decimals (so cross-engine double ordering is stable).
@@ -196,7 +228,7 @@ def gumbel_key(id_c: Column, log_w: Column, seed: str = "dsir") -> Column:
         _md5_int52(F.concat(F.lit(seed + ":"), id_c.cast("string"))).cast("double")
         + F.lit(0.5)
     ) / F.lit(_MD5_SPAN)
-    return F.round(log_w + -F.log(-F.log(u)), 6)
+    return round_binary(log_w + -F.log(-F.log(u)), 6)
 
 
 def dsir_resample(

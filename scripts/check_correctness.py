@@ -20,15 +20,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def value_hash(df) -> str:
+    # Dtype-strict: floats are formatted with repr() so 113.0 != 113, and the
+    # pandas dtype string of every column is folded into the hash.  This makes
+    # the local gate at least as strict as the driver's hasher (which
+    # distinguishes int64 from float64 — see VERDICT r6 finding #1).
     cols = sorted(df.columns)
     df = df[cols]
     rows = sorted(
         tuple("NULL" if v is None or (isinstance(v, float) and v != v)
-              else (f"{v:.9g}" if isinstance(v, float) else str(v))
+              else (repr(v) if isinstance(v, float) else str(v))
               for v in rec)
         for rec in df.itertuples(index=False, name=None)
     )
     h = hashlib.sha256()
+    h.update("|".join(str(df[c].dtype) for c in cols).encode())
+    h.update(b"\x1e")
     for r in rows:
         h.update("\x1f".join(r).encode())
         h.update(b"\x1e")
