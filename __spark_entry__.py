@@ -759,8 +759,10 @@ def q_dsir_weights(spark, sf_dir):
     from httpz_spark.operators.dsir import dsir_logweights, round_binary
 
     d = _t(spark, sf_dir, "documents")
-    target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
-    return dsir_logweights(d, target).select(
+    # predicate-form target: ONE gram-explode evaluation for fit+score
+    # (the target corpus is the doc_id%10==3 split of the raw corpus)
+    tp = lambda c: F.pmod(c, F.lit(10)) == 3  # noqa: E731
+    return dsir_logweights(d, target_pred=tp).select(
         "doc_id",
         # double, matching the oracle: DuckDB sum(BIGINT) is HUGEINT,
         # which lands in pandas as float64 (r6 driver-gate finding #1)
@@ -780,8 +782,8 @@ def q_dsir_select(spark, sf_dir):
     from httpz_spark.operators.dsir import dsir_resample, round_binary
 
     d = _t(spark, sf_dir, "documents")
-    target = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
-    sel = dsir_resample(d, target, k=100)
+    tp = lambda c: F.pmod(c, F.lit(10)) == 3  # noqa: E731
+    sel = dsir_resample(d, k=100, target_pred=tp)
     return sel.select(
         "doc_id",
         # double: oracle n_feats is a DuckDB HUGEINT sum -> pandas float64

@@ -393,6 +393,7 @@ def connected_components(
         .select(F.col("x").alias("id"), F.col("x").alias("comp"))
         .localCheckpoint()
     )
+    labels_ck = labels
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -403,30 +404,32 @@ def connected_components(
             .groupBy("x").agg(F.min("_nc").alias("_nbr"))
             .select(F.col("x").alias("id"), "_nbr")
         )
-        new_labels = (
+        # The changed flag rides INSIDE the checkpointed frame, so the
+        # convergence check is a filter-count scan of the fresh
+        # checkpoint blocks — the old shape re-joined new labels against
+        # old labels every round, a full extra shuffle join per round
+        # just to learn one number.
+        upd = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("_nbr"), F.col("comp")) < F.col("comp")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        prev = labels
-        labels = new_labels
-        release_local_checkpoint(prev)
+        changed = upd.filter(F.col("_chg")).count()
+        prev_ck = labels_ck
+        labels_ck = upd
+        labels = upd.drop("_chg")
+        release_local_checkpoint(prev_ck)
         if changed == 0:
             edges.unpersist()
             if stats is not None:
                 stats["rounds"] = rounds
             return labels
     edges.unpersist()
-    release_local_checkpoint(labels)
+    release_local_checkpoint(labels_ck)
     if stats is not None:
         stats["rounds"] = rounds
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
@@ -568,33 +571,47 @@ def dedup_clusters(
     <path taken>, "probe_rounds": n, "n_edges": count-if-measured}`` for
     observability.  Identical output on every path (property-tested)."""
     if algorithm == "auto":
-        n_edges = pairs.count()
-        if stats is not None:
-            stats["n_edges"] = n_edges
-        if n_edges >= star_threshold:
-            star_stats: dict = {}
-            cc = connected_components_star(pairs, a_col, b_col,
-                                           stats=star_stats)
-            if stats is not None:
-                stats.update(algorithm="star", probe_rounds=0,
-                             rounds=star_stats.get("rounds", 0))
-            return cc.select("id", F.col("comp").alias("canonical"))
-        probe_stats: dict = {}
+        # Persist the pair frame BEFORE the dispatch count: the count is a
+        # full evaluation of the (often expensive — banded joins, shingle
+        # self-joins) pair plan, and the chosen algorithm's internal
+        # edge-frame materialization would otherwise evaluate it a second
+        # time (measured: the image-shard caption∪phash edge plan ran
+        # twice, ~8 s each at 10^6 rows).  Safe to unpersist on exit —
+        # every algorithm path returns labels materialized via
+        # localCheckpoint, so the returned frame no longer references the
+        # pair plan.
+        pairs = pairs.persist()
         try:
-            cc = connected_components(pairs, a_col, b_col,
-                                      max_iter=probe_iter, stats=probe_stats)
+            n_edges = pairs.count()
             if stats is not None:
-                stats.update(algorithm="minlabel",
-                             probe_rounds=probe_stats.get("rounds", 0),
-                             rounds=probe_stats.get("rounds", 0))
-        except RuntimeError:
-            star_stats = {}
-            cc = connected_components_star(pairs, a_col, b_col,
-                                           stats=star_stats)
-            if stats is not None:
-                pr = probe_stats.get("rounds", 0)
-                stats.update(algorithm="star", probe_rounds=pr,
-                             rounds=pr + star_stats.get("rounds", 0))
+                stats["n_edges"] = n_edges
+            if n_edges >= star_threshold:
+                star_stats: dict = {}
+                cc = connected_components_star(pairs, a_col, b_col,
+                                               stats=star_stats)
+                if stats is not None:
+                    stats.update(algorithm="star", probe_rounds=0,
+                                 rounds=star_stats.get("rounds", 0))
+                return cc.select("id", F.col("comp").alias("canonical"))
+            probe_stats: dict = {}
+            try:
+                cc = connected_components(pairs, a_col, b_col,
+                                          max_iter=probe_iter,
+                                          stats=probe_stats)
+                if stats is not None:
+                    stats.update(algorithm="minlabel",
+                                 probe_rounds=probe_stats.get("rounds", 0),
+                                 rounds=probe_stats.get("rounds", 0))
+            except RuntimeError:
+                star_stats = {}
+                cc = connected_components_star(pairs, a_col, b_col,
+                                               stats=star_stats)
+                if stats is not None:
+                    pr = probe_stats.get("rounds", 0)
+                    stats.update(algorithm="star", probe_rounds=pr,
+                                 rounds=pr + star_stats.get("rounds", 0))
+        finally:
+            pairs.unpersist(blocking=False)
     else:
         f = (connected_components_star if algorithm == "star"
              else connected_components)

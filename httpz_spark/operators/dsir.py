@@ -116,6 +116,18 @@ def dsir_llr_table(
         r["bucket"]: r["c"]
         for r in raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
     }
+    return _llr_from_counts(spark, tc, rc, buckets, add_k)
+
+
+def _llr_from_counts(
+    spark: SparkSession,
+    tc: dict,
+    rc: dict,
+    buckets: int,
+    add_k: float,
+) -> DataFrame:
+    """LLR table from collected per-bucket count dicts (shared by the
+    two-frame fit and the single-pass ``target_pred`` fit)."""
     t_total, r_total = sum(tc.values()), sum(rc.values())
     k = float(add_k)
     # The ln itself is evaluated HERE, in Python (C libm), over the
@@ -146,7 +158,7 @@ def dsir_llr_table(
 
 def dsir_logweights(
     docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None = None,
     raw_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -154,6 +166,7 @@ def dsir_logweights(
     add_k: float = 1.0,
     broadcast_llr: bool = True,
     feats: DataFrame | None = None,
+    target_pred=None,
 ) -> DataFrame:
     """Per-document DSIR importance weights: ``(id_col, n_feats,
     log_w)`` where ``n_feats`` is the total hashed-gram count and
@@ -164,22 +177,53 @@ def dsir_logweights(
     ``raw_docs`` defaults to ``docs`` itself — the paper fits q on the
     raw corpus being selected from.
 
-    Cost shape: fit + score = TWO evaluations of the corpus gram
-    explode (the q-fit collect is one action, the scoring join
-    another; nothing is persisted implicitly).  Callers who can afford
-    the storage pass a precomputed/persisted feature frame via
-    ``feats`` (``hashed_ngram_features(docs, ...)`` — the same
+    When the target corpus is a PREDICATE over the raw corpus itself
+    (the common in-distribution-split shape), pass ``target_pred`` — a
+    callable mapping the id column to a boolean Column — instead of
+    ``target_docs``.  Both multinomials then come out of ONE aggregation
+    over ONE evaluation of the gram explode (feats is persisted and the
+    scoring join reuses it), instead of three explode evaluations
+    (target fit, raw fit, scoring).  The persisted feature frame is
+    (id, bucket, cnt) — a bounded fraction of the corpus — and is left
+    registered for Spark's LRU storage eviction.
+
+    Cost shape without ``target_pred``: fit + score = TWO evaluations of
+    the corpus gram explode (the q-fit collect is one action, the
+    scoring join another; nothing is persisted implicitly).  Callers who
+    can afford the storage pass a precomputed/persisted feature frame
+    via ``feats`` (``hashed_ngram_features(docs, ...)`` — the same
     ``shingles=`` escape hatch minhash_signatures offers), reducing the
     heavy explode to ONE evaluation."""
     raw = docs if raw_docs is None else raw_docs
     if feats is None:
         feats = hashed_ngram_features(docs, text_col, id_col, buckets)
-    tfeats = hashed_ngram_features(target_docs, text_col, id_col, buckets)
-    rfeats = (
-        feats if raw is docs
-        else hashed_ngram_features(raw, text_col, id_col, buckets)
-    )
-    llr = dsir_llr_table(docs.sparkSession, tfeats, rfeats, buckets, add_k)
+        if target_pred is not None and raw is docs:
+            feats = feats.persist()
+    if target_pred is not None and raw is docs:
+        # single-pass fit: target counts fold into the raw-fit
+        # aggregation as a conditional sum — identical to fitting on
+        # docs.filter(target_pred) separately, because features are
+        # per-doc counts and the target is a subset of docs
+        agg = (
+            feats.groupBy("bucket")
+            .agg(
+                F.sum("cnt").alias("rc"),
+                F.sum(F.when(target_pred(F.col("id")), F.col("cnt"))).alias("tc"),
+            )
+            .collect()
+        )
+        tc = {r["bucket"]: r["tc"] for r in agg if r["tc"]}
+        rc = {r["bucket"]: r["rc"] for r in agg}
+        llr = _llr_from_counts(docs.sparkSession, tc, rc, buckets, add_k)
+    else:
+        if target_docs is None:
+            raise ValueError("pass target_docs or target_pred")
+        tfeats = hashed_ngram_features(target_docs, text_col, id_col, buckets)
+        rfeats = (
+            feats if raw is docs
+            else hashed_ngram_features(raw, text_col, id_col, buckets)
+        )
+        llr = dsir_llr_table(docs.sparkSession, tfeats, rfeats, buckets, add_k)
     if broadcast_llr:
         llr = F.broadcast(llr)
     w = (
@@ -233,23 +277,27 @@ def gumbel_key(id_c: Column, log_w: Column, seed: str = "dsir") -> Column:
 
 def dsir_resample(
     docs: DataFrame,
-    target_docs: DataFrame,
-    k: int,
+    target_docs: DataFrame | None = None,
+    k: int = 100,
     raw_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 10_000,
     add_k: float = 1.0,
     seed: str = "dsir",
+    target_pred=None,
 ) -> DataFrame:
     """Gumbel-top-``k`` DSIR selection: ``(id_col, n_feats, log_w,
     score)`` for the ``k`` sampled documents, highest score first.
     Equivalent to weighted sampling without replacement with probability
     proportional to the importance weight.  Docs with no features
     (empty text) carry NULL ``log_w`` and are never selected.  Plans as
-    TakeOrderedAndProject — per-partition top-k, k-row driver merge."""
+    TakeOrderedAndProject — per-partition top-k, k-row driver merge.
+    ``target_pred`` enables the single-explode fit (see
+    :func:`dsir_logweights`)."""
     scored = dsir_logweights(
-        docs, target_docs, raw_docs, text_col, id_col, buckets, add_k
+        docs, target_docs, raw_docs, text_col, id_col, buckets, add_k,
+        target_pred=target_pred,
     )
     score = gumbel_key(F.col(id_col), F.col("log_w"), seed)
     return (

@@ -524,12 +524,24 @@ def _np_query_luts(Qm: "np.ndarray", codebooks: list):
         B = np.asarray(codebooks[mi], dtype=np.float64)  # (kc, sub)
         t = np.zeros((q, kc), dtype=np.float64)
         tmp = np.empty((q, kc), dtype=np.float64)
-        for j in range(sub):
-            # out=/in-place keep the working set at TWO buffers instead of
-            # 2*sub fresh 8*q*kc allocations — first-touch page faults on
-            # fresh mmaps cost ~9x the arithmetic in a cold worker
-            np.multiply(Qm[:, mi * sub + j][:, None], B[None, :, j], out=tmp)
-            t += tmp
+        # Blocked over queries so the accumulator slice (block x kc
+        # doubles, ~1 MB at the default block) stays cache-resident
+        # across the sub j-passes: the unblocked form streamed the full
+        # (q, kc) buffer through DRAM 3*sub times per subspace (~5 GB at
+        # Q=10^4), and with every reused Python worker building its LUT
+        # concurrently the memory bus — not the FLOPs — was the
+        # distributed-ADC stage's bottleneck (measured 472 core-s for a
+        # ~2 core-s-of-arithmetic build+score).  The per-cell
+        # accumulation order is unchanged (left-to-right over j), so
+        # bit-equality with the scalar driver path is preserved.
+        blk = max(1, (1 << 17) // max(kc, 1))
+        for lo in range(0, q, blk):
+            hi = min(lo + blk, q)
+            tb, pb = t[lo:hi], tmp[: hi - lo]
+            for j in range(sub):
+                np.multiply(Qm[lo:hi, mi * sub + j][:, None], B[None, :, j],
+                            out=pb)
+                tb += pb
         ip.append(t)
     return qnorm, ip
 
@@ -563,6 +575,28 @@ def _select_topk(qrows: "np.ndarray", ids: "np.ndarray",
     first = np.searchsorted(qr, qr, side="left")
     keep = (np.arange(len(qr)) - first) < k
     return qr[keep], iD[keep], sc_[keep]
+
+
+def _matrix_topk(S: "np.ndarray", ids: "np.ndarray", k: int):
+    """Exact per-row top-k over a dense (Q x n) score matrix: prune each
+    row to its candidates with ``np.partition`` (everything >= the k-th
+    largest — a superset of the true top-k, ties included), then resolve
+    (score desc, id asc) exactly with :func:`_select_topk` over the
+    ~Q*k survivors.  Replaces lexsorting all Q*n triples, which at
+    Q=10^4 was one 4M-element 3-key sort PER CHUNK and dominated the
+    distributed-ADC task profile.  NaN scores (zero-norm rows) are
+    excluded from candidacy, matching the old sort order that placed
+    them last."""
+    q, n = S.shape
+    if n <= k:
+        qrows = np.repeat(np.arange(q, dtype=np.int64), n)
+        return _select_topk(qrows, np.tile(ids, q), S.ravel(), k)
+    Sm = np.where(np.isnan(S), -np.inf, S)
+    kth = np.partition(Sm, n - k, axis=1)[:, n - k]
+    mask = Sm >= kth[:, None]
+    qrows, cols = np.nonzero(mask)
+    return _select_topk(qrows.astype(np.int64, copy=False), ids[cols],
+                        S[mask], k)
 
 
 def _collect_queries(queries: DataFrame, query_id_col: str, vec_col: str):
@@ -692,7 +726,18 @@ def _pq_adc_topk_dist(codes: DataFrame, codebooks: list,
 
     m = len(codebooks)
     normsq = _adc_normsq(codebooks)
-    bq = codes.sparkSession.sparkContext.broadcast((qids, Qm))
+    sc = codes.sparkSession.sparkContext
+    # Scale-adaptive parallelism: a small/compacted codes frame (one
+    # parquet file, a fresh encode of a small corpus) arrives with fewer
+    # partitions than the session has cores, and the WHOLE Q x N scoring
+    # then runs in that many tasks (observed: 1 partition at the bench
+    # shape -> single-task scoring, 14+ s).  The scoring work is pure
+    # compute, so spread it; at production scale codes already carries
+    # >= defaultParallelism partitions and this is a no-op.
+    nparts = codes.rdd.getNumPartitions()
+    if nparts < sc.defaultParallelism:
+        codes = codes.repartition(sc.defaultParallelism)
+    bq = sc.broadcast((qids, Qm))
     lut_key = uuid.uuid4().hex
 
     def score(batches):
@@ -726,10 +771,7 @@ def _pq_adc_topk_dist(codes: DataFrame, codebooks: list,
                 for mi in range(1, m):
                     S = S + ip[mi][:, C[lo:hi, mi]]
                 S = S / (qn[:, None] * rnorm[None, lo:hi])
-                n = hi - lo
-                qrows = np.repeat(np.arange(Q, dtype=np.int64), n)
-                cids = np.tile(ids[lo:hi], Q)
-                acc.append(_select_topk(qrows, cids, S.ravel(), k))
+                acc.append(_matrix_topk(S, ids[lo:hi], k))
                 acc_len += len(acc[-1][0])
                 if acc_len > 4 * Q * k:
                     acc = [reduced()]

@@ -146,19 +146,40 @@ def frontier_detrap(
     aggregation entirely.
     """
     t = frontier.withColumn("template", url_path_template(F.col(url_col)))
+    wd = Window.partitionBy("host", "template").orderBy(F.col("_u"))
     if traps is None:
-        # ONE distinct pass feeds BOTH the trap counts and the thresholds
-        # (identical subplans -> AQE ReusedExchange evaluates the distinct
-        # shuffle once); the alternative — trap_templates + a separate
-        # trapped-subset distinct — scans the frontier twice more
+        # ONE materialized distinct pass feeds BOTH the trap counts and
+        # the thresholds.  The lazy formulation planned the identical
+        # distinct subtree under two broadcast subqueries plus the count
+        # — and because broadcast-subquery jobs run on CONCURRENT driver
+        # threads, runtime exchange reuse does NOT collapse them: stage
+        # metrics at 4M rows showed the template+distinct map evaluated
+        # THREE times (~330 of ~530 total core-seconds).  Persisting the
+        # distinct triple and eagerly checkpointing the two tiny derived
+        # tables (trap list + thresholds — both bounded by
+        # |frontier|/max_urls, the size the old plan already broadcast)
+        # runs the distinct once and lets the cache release before
+        # return.  The returned plan is then a pure two-broadcast-join
+        # map over the frontier.
         d = t.select(F.col(host_col).alias("host"), "template",
-                     F.col(url_col).alias("_u")).distinct()
-        traps = (
-            d.groupBy("host", "template")
-            .agg(F.count(F.lit(1)).alias("n_urls"))
-            .filter(F.col("n_urls") > max_urls)
-        )
-        thr_src = d
+                     F.col(url_col).alias("_u")).distinct().persist()
+        try:
+            traps = (
+                d.groupBy("host", "template")
+                .agg(F.count(F.lit(1)).alias("n_urls"))
+                .filter(F.col("n_urls") > max_urls)
+                .localCheckpoint(eager=True)
+            )
+            thr = (
+                d.join(F.broadcast(traps.select("host", "template")),
+                       ["host", "template"])
+                .withColumn("_rn", F.row_number().over(wd))
+                .filter(F.col("_rn") == keep)
+                .select("host", "template", F.col("_u").alias("_thr"))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            d.unpersist(blocking=False)
     else:
         thr_src = (
             t.join(F.broadcast(traps.select("host", "template")),
@@ -166,20 +187,19 @@ def frontier_detrap(
             .select("host", "template", F.col(url_col).alias("_u"))
             .distinct()
         )
+        thr = (
+            thr_src.join(F.broadcast(traps.select("host", "template")),
+                         ["host", "template"])
+            .withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == keep)
+            .select("host", "template", F.col("_u").alias("_thr"))
+        )
     traps_b = F.broadcast(
         traps.select("host", "template").withColumn("_trap", F.lit(True))
     )
-    wd = Window.partitionBy("host", "template").orderBy(F.col("_u"))
-    thr = F.broadcast(
-        thr_src.join(F.broadcast(traps.select("host", "template")),
-                     ["host", "template"])
-        .withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == keep)
-        .select("host", "template", F.col("_u").alias("_thr"))
-    )
     return (
         t.join(traps_b, ["host", "template"], "left")
-        .join(thr, ["host", "template"], "left")
+        .join(F.broadcast(thr), ["host", "template"], "left")
         .filter(
             F.col("_trap").isNull()
             | F.col("_thr").isNull()

@@ -90,9 +90,12 @@ def test_detrap_precomputed_traps_skips_agg(spark):
 
 
 def test_detrap_plan_shape(spark):
-    """Threshold formulation: no union (ONE pass over the frontier with
-    two broadcast joins), the rank window touches only the trapped
-    subset's distinct URLs, and its top-k is pushed below the shuffle."""
+    """Threshold formulation: the RETURNED plan is one pass over the
+    frontier with two broadcast joins — no union, no cartesian, and (new
+    in the eager-derivation shape) no window at all: the trap list and
+    thresholds are materialized once inside the operator from a single
+    persisted distinct pass, so the returned plan only joins two tiny
+    checkpointed tables."""
     f = _frontier(spark)
     df = frontier_detrap(f, max_urls=10, keep=3)
     df.collect()
@@ -101,5 +104,22 @@ def test_detrap_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Union" not in plan
-    assert plan.count("Window [") <= 2  # one logical Window (thr subplan)
+    # derivation work (distinct + window) happened eagerly — the frontier
+    # pass itself carries no exchange beyond the broadcasts and no window
+    assert "Window [" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_detrap_precomputed_path_keeps_window_group_limit(spark):
+    """The precomputed-traps path stays fully lazy, and its threshold
+    window keeps the rank<=keep pushdown (WindowGroupLimit below the
+    shuffle) over only the trapped subset."""
+    f = _frontier(spark)
+    traps = spark.createDataFrame(
+        [("trap.test", "/s/{H}")], "host string, template string"
+    )
+    df = frontier_detrap(f, max_urls=10, keep=2, traps=traps)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Union" not in plan
