@@ -87,10 +87,20 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
     Returns (key_col, dedup_text, n_sentences, n_sent_dropped).  One
     shuffle on the md5 span hash for the first-occurrence window; docs
     with < 3 sentences pass through untouched.
-    """
+
+    Plan shape: the (key, sentences) frame is persisted (one evaluation
+    of the upstream line-filter/gate expressions — the lazy form ran
+    them once under the span subtree and once under the sentence
+    subtree), duplicate spans collapse to a PER-DOC drop-index array
+    (only docs that lose sentences have a row), and the surviving text
+    is rebuilt natively with an index filter over the cached sentence
+    array.  The old sentence-granular shape exploded every sentence,
+    anti-joined the drop list, and re-assembled docs through a
+    collect_list aggregation — three corpus-sized shuffles that all
+    disappear (the rebuild join is corpus ⋈ dup-docs-only, left)."""
     sents = F.split(F.col(text_col), r"\. ")
     base = df.select(key_col, sents.alias("sents"),
-                     F.size(sents).alias("n_sent"))
+                     F.size(sents).alias("n_sent")).persist()
 
     # span hashes: md5 of the 3-sentence window, one row per span
     span_idx = F.when(
@@ -110,30 +120,31 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
         W.partitionBy("span_h").orderBy(key_col, "span_idx"))
     dup_spans = (spans.withColumn("occ", first).filter(F.col("occ") > 1)
                  .select(key_col, "span_idx"))
-    drops = dup_spans.select(
-        key_col,
-        F.explode(F.array(F.col("span_idx"), F.col("span_idx") + 1,
-                          F.col("span_idx") + 2)).alias("sent_idx"),
-    ).distinct()
+    # (key, sorted distinct dropped-sentence indices) — rows only for
+    # docs that actually lose sentences
+    drops = dup_spans.groupBy(key_col).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(
+            F.array(F.col("span_idx"), F.col("span_idx") + 1,
+                    F.col("span_idx") + 2))))).alias("_drop_idx"))
 
-    sent_rows = base.select(
-        key_col, "n_sent",
-        F.posexplode("sents").alias("sent_idx", "sent"))
-    kept = sent_rows.join(drops, [key_col, "sent_idx"], "left_anti")
-    return (kept.groupBy(key_col)
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("sent_idx", "sent"))),
-                        lambda s: s.sent),
-                    ". ").alias("dedup_text"),
-                # n_sent is constant per doc; max() (not first()) keeps
-                # the aggregate visibly deterministic
-                F.max("n_sent").alias("n_sentences"),
-                (F.max("n_sent") - F.count(F.lit(1)))
-                .cast("int").alias("n_sent_dropped"),
-            ))
+    kept_sents = F.when(
+        F.col("_drop_idx").isNull(), F.col("sents")
+    ).otherwise(
+        F.filter(F.col("sents"),
+                 lambda s, i: ~F.array_contains(F.col("_drop_idx"), i))
+    )
+    n_drop = F.coalesce(F.size("_drop_idx"), F.lit(0))
+    return (base.join(drops, key_col, "left")
+            .select(
+                key_col,
+                F.array_join(kept_sents, ". ").alias("dedup_text"),
+                F.col("n_sent").alias("n_sentences"),
+                n_drop.cast("int").alias("n_sent_dropped"),
+            )
+            # a doc whose every sentence was covered by duplicate spans
+            # disappears from the output — the contract the old
+            # sentence-anti-join shape established
+            .filter(F.col("n_sentences") > F.col("n_sent_dropped")))
 
 
 def c4_clean(df: DataFrame, text_col: str = "text",
