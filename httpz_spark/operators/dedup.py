@@ -219,6 +219,15 @@ def ngram_jaccard_pairs(
     # the full shingle table; this shape removes that entirely.
     owns = shingles is None
     sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, shingle_k)
+    # 8-byte shingle HASHES ride every downstream shuffle (df table,
+    # rare/hot split, candidate self-join, hot-set arrays) instead of
+    # ~25-byte gram strings — the jaccard path never needs the string
+    # back, the per-doc row counts are unchanged (rows stay distinct
+    # strings), and an xxhash64 collision only perturbs n_common with
+    # the same 2^-64-class probability the md5-keyed operators already
+    # accept.  Minhash keeps the string frame (its signatures hash the
+    # text itself).
+    sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     if owns and eager:
         sh = sh.persist()
     if max_df is not None:

@@ -65,8 +65,11 @@ def token_windows(
     window_tokens: int = 50,
 ) -> DataFrame:
     """``(id, pos, wkey)`` — every rolling ``window_tokens``-token window
-    keyed by md5 of the space-joined window text (128-bit: collision-free
-    in practice, fixed-width on the shuffle)."""
+    keyed by xxhash64 of the space-joined window text (an 8-byte shuffle
+    key — a quarter of the old md5-hex string — and a far cheaper hash
+    per position; the dedup identity tolerates the 2^-64 collision class
+    exactly like the repo's other hash-keyed operators, and the oracle
+    compares raw gram strings so the engine-side key choice is free)."""
     L = window_tokens
     tok = _tokenized(docs, text_col, id_col)
     t = F.col("t")
@@ -78,7 +81,9 @@ def token_windows(
         idxs,
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(t, i + 1, F.lit(L)))).alias("wkey"),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(t, i + 1, F.lit(L)))
+            ).alias("wkey"),
         ),
     )
     return tok.select("id", F.explode(win).alias("w")).select(
@@ -139,13 +144,23 @@ def exactsubstr_clean(
     """``(id_col, n_spans, n_dup_tokens, clean_text)`` for EVERY doc:
     duplicated >=``window_tokens``-token spans removed, untouched docs
     carrying their normalized text with zero counts."""
-    windows = token_windows(docs, text_col, id_col, window_tokens)
-    spans = dup_spans(dup_window_marks(windows, keep_first), window_tokens)
-    per_doc = spans.groupBy("id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"),
-    )
+    # the window explode (per-position hash over the token stream — by
+    # far the heaviest expression here) is persisted so the dup-count
+    # aggregation and the join back read ONE evaluation; the per-doc
+    # span table is tiny (docs with duplicated spans only), so it is
+    # materialized eagerly and the window cache released before return
+    # (the _finish_pairs storage discipline)
+    windows = token_windows(docs, text_col, id_col, window_tokens).persist()
+    try:
+        spans = dup_spans(dup_window_marks(windows, keep_first),
+                          window_tokens)
+        per_doc = spans.groupBy("id").agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"),
+        ).localCheckpoint(eager=True)
+    finally:
+        windows.unpersist(blocking=False)
     tok = _tokenized(docs, text_col, id_col)
     sp = F.coalesce(
         F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")

@@ -72,15 +72,31 @@ def bloom_maybe(bits: np.ndarray, m: int, k: int, keys: np.ndarray) -> np.ndarra
     return probes.all(axis=1)
 
 
+#: skip the probe-aligning shuffle when the WHOLE filter set fits under
+#: this many bytes: a task may then touch every filter file, so the bound
+#: is per-worker memory/IO, not a core-count tune (64 MB x worker count
+#: is noise next to the candidate shuffle it replaces; above it, the
+#: aligned layout's one-file-per-task contract is the right trade).
+_PROBE_ALIGN_BYTES = 64 << 20
+
+
 def _probe_maybe_seen(candidates: DataFrame, key_col: str, partitions: int,
-                      make_contains) -> DataFrame:
+                      make_contains, align: bool = True) -> DataFrame:
     """The shared probe stage for both filter structures: adds
-    ``maybe_seen boolean``.  Candidates are repartitioned on pid so each
-    task reads one filter file (candidate-side-only shuffle; the seen
-    table is untouched).  ``make_contains(pid)`` returns a
-    ``keys -> bool-mask`` callable, or None when the pid must degrade to
-    maybe-seen=True (absent/corrupt/saturated file — the exact anti-join
-    recheck then preserves correctness).
+    ``maybe_seen boolean``.  With ``align=True`` candidates are
+    repartitioned on pid so each task reads one filter file
+    (candidate-side-only shuffle; the seen table is untouched) — the
+    at-scale layout, where the filter set is far too big for one worker.
+    With ``align=False`` the stage runs MAP-ONLY over the candidates'
+    existing partitioning and each task loads whatever filter files its
+    keys touch: the callers flip this on when the TOTAL filter byte size
+    is small enough that a worker can hold the whole set, which deletes
+    the only shuffle on the probe side (the fixed cost that dominated
+    the probe stage's N→4N scaling at small N — BENCH/BASELINE.md
+    sample #10).  ``make_contains(pid)`` returns a ``keys -> bool-mask``
+    callable, or None when the pid must degrade to maybe-seen=True
+    (absent/corrupt/saturated file — the exact anti-join recheck then
+    preserves correctness).
 
     The stage is ``mapInArrow``, not ``mapInPandas``: it only READS the
     key column (numpy view) and APPENDS a boolean — pass-through columns
@@ -117,8 +133,9 @@ def _probe_maybe_seen(candidates: DataFrame, key_col: str, partitions: int,
                 names=list(rb.schema.names) + ["maybe_seen"],
             )
 
-    parted = candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
-    return parted.mapInArrow(run, schema=out_schema)
+    src = (candidates.repartition(P, F.pmod(F.col(key_col), F.lit(P)))
+           if align else candidates)
+    return src.mapInArrow(run, schema=out_schema)
 
 
 class BloomIndex:
@@ -215,7 +232,10 @@ class BloomIndex:
                 return None  # absent/corrupt -> degrade to exact check
             return lambda keys: bloom_maybe(bits, m, k, keys)
 
-        return _probe_maybe_seen(candidates, key_col, self.partitions, make_contains)
+        total = self.partitions * (self.m // 8)
+        return _probe_maybe_seen(candidates, key_col, self.partitions,
+                                 make_contains,
+                                 align=total > _PROBE_ALIGN_BYTES)
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +506,10 @@ class CuckooIndex:
                 return None  # absent/corrupt/saturated -> exact recheck
             return lambda keys: cuckoo_contains(table, keys)
 
-        return _probe_maybe_seen(candidates, key_col, self.partitions, make_contains)
+        total = self.partitions * self.nbuckets * _CUCKOO_SLOTS * 2
+        return _probe_maybe_seen(candidates, key_col, self.partitions,
+                                 make_contains,
+                                 align=total > _PROBE_ALIGN_BYTES)
 
 
 def dedup_unseen(

@@ -39,11 +39,13 @@ def caption_dup_edges(
     caption_col: str = "caption",
 ) -> DataFrame:
     """(a, b) star edges linking every caption-duplicate to its group's
-    min id.  Groups shuffle on ``md5(caption)`` (fixed 32-byte key, not
-    the caption text — captions can be kilobytes), exactly the
-    ``exact_dedup`` discipline; singleton captions drop before the join
-    back, so the edge frame is proportional to the duplicated subset."""
-    key = F.md5(F.col(caption_col)).alias("_ck")
+    min id.  Groups shuffle on ``xxhash64(caption)`` (a fixed 8-byte
+    key, not the caption text — captions can be kilobytes), the
+    ``exact_dedup`` discipline with a 4x narrower key than the old
+    md5-hex string (and a far cheaper hash to evaluate twice);
+    singleton captions drop before the join back, so the edge frame is
+    proportional to the duplicated subset."""
+    key = F.xxhash64(F.col(caption_col)).alias("_ck")
     groups = (
         images.select(key, F.col(id_col))
         .groupBy("_ck")
