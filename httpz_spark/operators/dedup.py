@@ -372,15 +372,25 @@ def connected_components(
     dedup pipeline needs between pair generation and "keep one canonical
     doc per cluster".
 
-    Iterative min-label propagation: each round joins labels to neighbors
-    and takes the elementwise min (one equi-join + one groupBy per round),
-    with ``localCheckpoint`` truncating the otherwise-exponential iterative
+    Iterative min-label propagation over the symmetrized edge list:
+    ``comp_{k+1}(x) = min(comp_k(x), min_{y in N(x)} comp_k(y))``.  Each
+    round is ONE equi-join + ONE groupBy: the node's own current label
+    rides along as a flagged self-loop row, so the old shape's second
+    join (labels back onto the neighbor minima) is gone, and round 0 —
+    where ``comp_0 = id`` makes the label join the identity — is a single
+    groupBy with no join and no separate label-initialization job.
+    ``localCheckpoint`` truncates the otherwise-exponential iterative
     lineage — the standard Spark pattern for fixpoint algorithms.  Rounds
     needed = graph diameter; near-dup clusters are near-cliques (diameter
     2-3), so this converges in a handful of rounds.  For adversarial
     long-chain graphs at 10^10 edges use
     :func:`connected_components_star` — O(log n) rounds, same join shapes,
     identical output (property-tested against this one).
+
+    The symmetrized edge frame is NOT ``distinct()``-ed: min-aggregation
+    is idempotent under duplicate edges, so the dedup shuffle bought
+    nothing but its own cost (the star variant still dedups — its exact
+    fixpoint test compares edge SETS).
 
     Deterministic: min over ids, no tie ambiguity.  Raises RuntimeError if
     the fixpoint is not reached within ``max_iter`` (never silently wrong);
@@ -396,49 +406,63 @@ def connected_components(
     edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     edges = edges.union(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).distinct().persist()
-    labels = (
-        edges.select("x").distinct()
-        .select(F.col("x").alias("id"), F.col("x").alias("comp"))
-        .localCheckpoint()
-    )
-    labels_ck = labels
+    ).persist()
+    labels_ck = None
+    labels = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("y"), F.col("comp").alias("_nc")), "y"
+        if labels is None:
+            # round 0: comp_1(x) = min(x, min N(x)) — labels are implicit
+            upd = (
+                edges.groupBy("x").agg(F.min("y").alias("_mn"))
+                .select(
+                    F.col("x").alias("id"),
+                    F.least(F.col("_mn"), F.col("x")).alias("comp"),
+                    (F.col("_mn") < F.col("x")).alias("_chg"),
+                )
+                .localCheckpoint()
             )
-            .groupBy("x").agg(F.min("_nc").alias("_nbr"))
-            .select(F.col("x").alias("id"), "_nbr")
-        )
+        else:
+            # one join + one groupBy: the self-loop row (flagged ``_s``)
+            # carries x's own current label through the same aggregation,
+            # so no second join is needed to compare old vs new
+            tri = edges.select("x", "y", F.lit(False).alias("_s")).union(
+                labels.select(F.col("id").alias("x"), F.col("id").alias("y"),
+                              F.lit(True).alias("_s"))
+            )
+            upd = (
+                tri.join(
+                    labels.select(F.col("id").alias("y"), F.col("comp").alias("_c")), "y"
+                )
+                .groupBy("x")
+                .agg(
+                    F.min("_c").alias("comp"),
+                    F.min(F.when(F.col("_s"), F.col("_c"))).alias("_old"),
+                )
+                .select(
+                    F.col("x").alias("id"), "comp",
+                    (F.col("comp") < F.col("_old")).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
         # The changed flag rides INSIDE the checkpointed frame, so the
         # convergence check is a filter-count scan of the fresh
-        # checkpoint blocks — the old shape re-joined new labels against
-        # old labels every round, a full extra shuffle join per round
-        # just to learn one number.
-        upd = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))).alias("comp"),
-                (F.coalesce(F.col("_nbr"), F.col("comp")) < F.col("comp")).alias("_chg"),
-            )
-            .localCheckpoint()
-        )
+        # checkpoint blocks — never an extra shuffle join
         changed = upd.filter(F.col("_chg")).count()
         prev_ck = labels_ck
         labels_ck = upd
         labels = upd.drop("_chg")
-        release_local_checkpoint(prev_ck)
+        if prev_ck is not None:
+            release_local_checkpoint(prev_ck)
         if changed == 0:
             edges.unpersist()
             if stats is not None:
                 stats["rounds"] = rounds
             return labels
     edges.unpersist()
-    release_local_checkpoint(labels_ck)
+    if labels_ck is not None:
+        release_local_checkpoint(labels_ck)
     if stats is not None:
         stats["rounds"] = rounds
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
