@@ -49,10 +49,21 @@ _DIGIT_RUN_RE = r"[0-9]+"
 
 
 def url_path_template(url: Column | str) -> Column:
-    """The trap-detection shape of a URL's path (native expression)."""
+    """The trap-detection shape of a URL's path (native expression).
+
+    The scheme+authority strip and the query/fragment strip run as ONE
+    global-replace pass over an alternation: the scheme branch is
+    ``^``-anchored so it can only fire at position 0, and the
+    query-fragment branch consumes to end-of-string, so the combined scan
+    replaces exactly the same spans as the documented two-pass form (the
+    oracle SQL keeps the two separate ``regexp_replace`` calls;
+    equivalence is pinned by a property test over adversarial URLs).
+    Three regex passes per URL instead of four — this expression is
+    evaluated twice per detrap call (derivation + frontier pass), so it
+    is the operator's single hottest kernel."""
     c = F.col(url) if isinstance(url, str) else url
     path = F.regexp_replace(
-        F.regexp_replace(c, _SCHEME_HOST_RE, ""), _QUERY_FRAG_RE, ""
+        c, f"{_SCHEME_HOST_RE}|{_QUERY_FRAG_RE}", ""
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
     return F.regexp_replace(
@@ -138,9 +149,10 @@ def frontier_detrap(
     ``keep``-th smallest distinct URL as a tiny broadcast THRESHOLD table
     (distinct + rank over only the trapped subset, WindowGroupLimit
     pushes the top-k below its shuffle), then keep every row with
-    ``url <= threshold`` in ONE pass over the frontier with two broadcast
-    joins.  A trapped template with fewer than ``keep`` distinct URLs has
-    no threshold row and keeps everything.  The window never touches the
+    ``url <= threshold`` in ONE pass over the frontier with a single
+    broadcast join of the merged trap+threshold guard table.  A trapped
+    template with fewer than ``keep`` distinct URLs has a NULL threshold
+    and keeps everything.  The window never touches the
     healthy majority.  Callers that already hold a trap list from a
     previous wave (streaming) pass it via ``traps`` and skip the
     aggregation entirely.
@@ -176,6 +188,14 @@ def frontier_detrap(
                 .withColumn("_rn", F.row_number().over(wd))
                 .filter(F.col("_rn") == keep)
                 .select("host", "template", F.col("_u").alias("_thr"))
+            )
+            # one guard table instead of two: every trapped template, with
+            # its keep-th-smallest distinct URL where one exists (NULL =
+            # fewer than ``keep`` distinct URLs -> keep everything).  The
+            # frontier pass below then pays ONE broadcast join, not two.
+            guard = (
+                traps.select("host", "template")
+                .join(F.broadcast(thr), ["host", "template"], "left")
                 .localCheckpoint(eager=True)
             )
         finally:
@@ -194,12 +214,13 @@ def frontier_detrap(
             .filter(F.col("_rn") == keep)
             .select("host", "template", F.col("_u").alias("_thr"))
         )
-    traps_b = F.broadcast(
-        traps.select("host", "template").withColumn("_trap", F.lit(True))
-    )
+        guard = (
+            traps.select("host", "template")
+            .join(F.broadcast(thr), ["host", "template"], "left")
+        )
+    guard_b = F.broadcast(guard.withColumn("_trap", F.lit(True)))
     return (
-        t.join(traps_b, ["host", "template"], "left")
-        .join(F.broadcast(thr), ["host", "template"], "left")
+        t.join(guard_b, ["host", "template"], "left")
         .filter(
             F.col("_trap").isNull()
             | F.col("_thr").isNull()

@@ -123,3 +123,47 @@ def test_detrap_precomputed_path_keeps_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "Union" not in plan
+
+
+def test_template_fused_strip_matches_two_pass_reference(spark):
+    """The scheme/authority strip and the query/fragment strip run as one
+    alternation pass; this pins exact equivalence with the documented
+    two-pass form (which the DuckDB oracle still executes verbatim) over
+    adversarial URL shapes: missing scheme, scheme-less '?' prefixes,
+    '#' inside the authority, '?' before any '/', userinfo, uppercase
+    schemes, bare strings, empties."""
+    import re
+
+    cases = [
+        "https://h.test/a/b?q=1#f",
+        "http://h.test",
+        "h.test/a/b",                      # no scheme
+        "/cal/2026-01-02?x=1",             # path only + query
+        "?only=query",
+        "#only-frag",
+        "",
+        "x://y?z",                         # 1-char scheme, ? before any /
+        "HTTPS://H.test/Path/123",         # uppercase scheme
+        "ftp+ssh.x-1://user:pw@h:8080/p/q#frag",
+        "https://h#f/a",                   # '#' inside authority
+        "https://h?x/1",                   # '?' inside authority
+        "://no-scheme-name/a",             # invalid: no scheme letters
+        "1http://h/a",                     # invalid scheme start
+        "https:/h/one-slash?y",
+        "a+b-c.9://h/deadbeefcafe0123/77",
+        "https://h.test/%3Fenc?real=1",
+    ]
+    scheme = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*")
+    qf = re.compile(r"[?#].*$")
+    hexr = re.compile(r"[0-9a-f]{8,}")
+    digit = re.compile(r"[0-9]+")
+
+    def ref(u):
+        p = qf.sub("", scheme.sub("", u, count=1), count=1)
+        if p == "":
+            p = "/"
+        return digit.sub("{N}", hexr.sub("{H}", p))
+
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = [r[0] for r in df.select(url_path_template("url")).collect()]
+    assert got == [ref(c) for c in cases], list(zip(cases, got))
