@@ -257,3 +257,51 @@ def test_ivfpq_index_residual_persist_roundtrip(spark, emb, tmp_path):
     base = _cells(built.topk(q, k=3, nprobe=3, distributed=False))
     assert _cells(reopened.topk(q, k=3, nprobe=3, distributed=False)) == base
     assert _cells(reopened.topk(q, k=3, nprobe=3, distributed=True)) == base
+
+
+def test_published_luts_mmap_bit_equal_and_fallback(spark, emb):
+    """The driver-published mmap LUTs hold the byte-exact
+    _np_query_luts output (so the shared-file path cannot diverge from
+    the per-worker build), and _cached_query_luts falls back to building
+    when the files are gone (eviction / cluster executor)."""
+    import numpy as np
+
+    from httpz_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    Qm = rng.standard_normal((50, 64))
+    cb = [[list(rng.standard_normal(8)) for _ in range(16)] for _ in range(8)]
+    key, paths = S._publish_query_luts(spark.sparkContext, Qm, cb)
+    assert paths is not None  # local master publishes
+    qn_ref, ip_ref = S._np_query_luts(Qm, cb)
+    qn_mm, ip_mm = S._cached_query_luts(key, Qm, cb, paths)
+    assert np.array_equal(np.asarray(qn_mm), qn_ref)
+    for a, b in zip(ip_mm, ip_ref):
+        assert np.array_equal(np.asarray(a), b)
+    # publish-eviction bound: pushing more queries unlinks the oldest files
+    import os
+
+    for _ in range(S._LUT_PUB_MAX + 1):
+        S._publish_query_luts(spark.sparkContext, Qm, cb)
+    assert not os.path.exists(paths[0]) and not os.path.exists(paths[1])
+    # a worker that misses its files (key2 not in its memo) must rebuild
+    S._LUT_CACHE.clear()
+    qn_fb, ip_fb = S._cached_query_luts(key, Qm, cb, paths)
+    assert np.array_equal(np.asarray(qn_fb), qn_ref)
+    for a, b in zip(ip_fb, ip_ref):
+        assert np.array_equal(np.asarray(a), b)
+
+
+def test_pq_adc_three_paths_identical(spark, emb, monkeypatch):
+    """driver == codes-distributed == query-distributed on the same
+    input.  The qdist small-corpus dispatch would normally swallow every
+    test-sized corpus, so the codes-distributed path is pinned by
+    forcing the dispatch threshold to zero."""
+    cb = SIM.pq_codebooks_fixed(emb, m=8, kc=16)
+    codes = SIM.pq_encode(emb.limit(400), cb)
+    q = _queries(emb, 48)
+    drv = _cells(SIM.pq_adc_topk(codes, cb, q, k=3, distributed=False))
+    qdist = _cells(SIM.pq_adc_topk(codes, cb, q, k=3, distributed=True))
+    monkeypatch.setattr(SIM, "_ADC_QDIST_MAX_CODES", 0)
+    cdist = _cells(SIM.pq_adc_topk(codes, cb, q, k=3, distributed=True))
+    assert drv == qdist == cdist
