@@ -127,33 +127,58 @@ def write_warc(df: DataFrame, path: str, n_files: int = 8,
             F.col("url"), F.col("date"), F.col("status"), F.col("mime"),
             F.col("_body"), F.col("revisit_of_url"),
             F.col("revisit_of_date"))
+        src_cols = ["_body", "revisit_of_url", "revisit_of_date"]
     else:
         record = warc_record(F.col("url"), F.col("date"), F.col("status"),
                              F.col("mime"), F.col("_body"))
+        src_cols = ["_body"]
+    # expression form: the exchange moves the raw body, framing happens
+    # in the writer stage below the shuffle (see write_records)
     rec = base.select("surt", "url", "date", "status", "mime", "digest",
-                      "warc_file", record.alias("record"))
+                      "warc_file", *src_cols)
     return write_records(rec, path, n_files=n_files, compress=compress,
-                         ext=ext)
+                         ext=ext, record=record)
 
 
 def write_records(rec: DataFrame, path: str, n_files: int,
-                  compress: bool, ext: str) -> DataFrame:
-    """Shared archive-writer tail: ``rec`` carries pre-framed BINARY
-    ``record`` bytes plus the CDX key columns (surt, url, date, status,
-    mime, digest, warc_file); rows are co-located per file, laid out in
-    CDX order, and streamed to disk by one Arrow stage that emits the
-    index rows for the bytes it actually wrote."""
+                  compress: bool, ext: str,
+                  record=None) -> DataFrame:
+    """Shared archive-writer tail: rows are co-located per file, laid
+    out in CDX order, and streamed to disk by one Arrow stage that emits
+    the index rows for the bytes it actually wrote.
+
+    ``rec`` carries the CDX key columns (surt, url, date, status, mime,
+    digest, warc_file) plus EITHER pre-framed BINARY ``record`` bytes,
+    or — when the ``record`` column EXPRESSION is passed — the framing
+    expression's raw source columns.  The expression form frames AFTER
+    the per-file repartition, so the exchange moves the raw payload
+    instead of payload+headers-framed-again bytes (~30% fewer shuffle
+    bytes at WARC shapes: url/date/mime already ride the exchange as key
+    columns and the framed record duplicated all of them plus the
+    body)."""
     os.makedirs(path, exist_ok=True)
+    keys = ["surt", "url", "date", "status", "mime", "digest", "warc_file"]
+    if record is None:
+        rec = rec.select(*keys, "record")
     # all rows of one file in one partition, contiguous in CDX order;
     # (date, digest) break ties when one URL has several captures
     # (multi-epoch/revisit archives) so the layout is a TOTAL order —
     # a retried/speculative task re-sorts identically and os.replace
-    # swaps in byte-identical files
-    rec = (rec.select("surt", "url", "date", "status", "mime", "digest",
-                      "warc_file", "record")
-              .repartition(n_files, "warc_file")
+    # swaps in byte-identical files.  Range partitioning, not hash:
+    # warc_file has EXACTLY n_files distinct values, and pmod(hash(v),
+    # n_files) over n_files values leaves ~1/e of tasks empty while
+    # piling 2-3 files onto others (the too-few-distinct-keys skew
+    # class) — the write stage then runs at the speed of its 3-file
+    # straggler.  Range boundaries put ~one file per task; file CONTENT
+    # is placement-independent (equal keys stay co-located and the
+    # per-file byte layout comes from the total sort order).
+    rec = (rec.repartitionByRange(n_files, "warc_file")
               .sortWithinPartitions("warc_file", "surt", "url", "date",
                                     "digest"))
+    if record is not None:
+        # map-side framing below the exchange's consumer: a projection
+        # preserves the sort order and partitioning established above
+        rec = rec.select(*keys, record.alias("record"))
 
     def _write(batches):
         import pyarrow as pa
@@ -177,7 +202,21 @@ def write_records(rec: DataFrame, path: str, n_files: int,
 
         for rb in batches:
             cols = {n: rb.column(i).to_pylist()
-                    for i, n in enumerate(rb.schema.names)}
+                    for i, n in enumerate(rb.schema.names)
+                    if n != "record"}
+            # the record column stays in Arrow: per-row memoryview slices
+            # over the shared data buffer instead of to_pylist()'s
+            # per-record bytes copies (the column is the batch's bulk —
+            # ~250 MB per 500k records — and zlib/crc32 consume buffers)
+            rcol = rb.column(rb.schema.names.index("record"))
+            width = 8 if pa.types.is_large_binary(rcol.type) else 4
+            dtype = "int64" if width == 8 else "int32"
+            import numpy as np
+
+            offs = np.frombuffer(rcol.buffers()[1], dtype=dtype,
+                                 count=len(rcol) + 1,
+                                 offset=rcol.offset * width)
+            rdata = memoryview(rcol.buffers()[2])
             for j in range(rb.num_rows):
                 name = cols["warc_file"][j]
                 if name != cur_name:
@@ -187,7 +226,7 @@ def write_records(rec: DataFrame, path: str, n_files: int,
                     # memory stays O(record), never O(archive file)
                     cur_f = open(os.path.join(path, name + ext)
                                  + tmp_sfx, "wb")
-                raw = cols["record"][j]
+                raw = rdata[offs[j]:offs[j + 1]]
                 offset = cur_f.tell()
                 if compress:
                     cur_f.write(_gzip_member(raw))
