@@ -104,6 +104,25 @@ def probe_adc(spark, which):
     if which in ("full", "all"):
         _timed(spark, "adc.full",
                lambda: _noop(SIM.pq_adc_topk(codes, cb, q, k=3)))
+    if which in ("parts", "all"):
+        # attribute the full-path seconds: query collect, the qdist
+        # dispatch probe, the corpus collect, and the score stage alone
+        holder = {}
+
+        def _qc():
+            holder["qids"], holder["Qm"] = SIM._collect_queries(
+                q, "query_id", "embedding")
+        _timed(spark, "adc.collect_queries", _qc)
+        _timed(spark, "adc.dispatch_count",
+               lambda: codes.limit(SIM._ADC_QDIST_MAX_CODES + 1).count())
+        _timed(spark, "adc.codes_topandas",
+               lambda: codes.select("vec_id", "codes").toPandas())
+        _timed(spark, "adc.qdist_score", lambda: _noop(
+            SIM._pq_adc_topk_qdist(codes, cb, holder["qids"], holder["Qm"],
+                                   3, "vec_id")))
+        _timed(spark, "adc.qdist_score2", lambda: _noop(
+            SIM._pq_adc_topk_qdist(codes, cb, holder["qids"], holder["Qm"],
+                                   3, "vec_id")))
     codes.unpersist()
     q.unpersist()
 

@@ -20,7 +20,7 @@ survive 100× scale-up with partitions scaled accordingly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from httpz_spark.functions.text import normalize_ws_ascii
@@ -172,6 +172,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    if eager:
+        # the banded frame sits ABOVE the signature aggregation (the
+        # 64-min groupBy — the family's most expensive shuffle); the
+        # aliased self-join sides otherwise evaluate that aggregation
+        # independently (no runtime exchange reuse across aliased sides —
+        # the hash_near_pairs chunk-frame finding, same class)
+        banded = banded.persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
@@ -182,7 +189,10 @@ def minhash_lsh_pairs(
     verified = verify_jaccard(cand, docs, text_col, id_col, shingle_k,
                               shingles=sh)
     out = verified.filter(F.col("jaccard") >= jaccard_threshold)
-    return _finish_pairs(out, sh, eager, owns)
+    out = _finish_pairs(out, sh, eager, owns)
+    if eager:  # _finish_pairs materialized the output; the cache is dead
+        banded.unpersist(blocking=False)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -230,10 +240,22 @@ def ngram_jaccard_pairs(
     sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     if owns and eager:
         sh = sh.persist()
+    extra_caches = []
     if max_df is not None:
         df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if eager:
+            # df_tbl feeds rare (once per self-join side) AND hot/doc_hot
+            # (twice more below) — four evaluations of the df aggregation
+            # without a cache; aliased join sides get no exchange reuse
+            df_tbl = df_tbl.persist()
+            extra_caches.append(df_tbl)
         rare = df_tbl.filter(F.col("_df") <= max_df).select("shingle")
         cand_sh = sh.join(rare, "shingle")
+        if eager:
+            # the rare-filter join sits under BOTH candidate self-join
+            # sides; persist so the df-join runs once, not per side
+            cand_sh = cand_sh.persist()
+            extra_caches.append(cand_sh)
         hot = df_tbl.filter(F.col("_df") > max_df).select("shingle")
         # per-doc hot-shingle sets; rows only for docs that HAVE hot
         # shingles (left joins below treat absence as the empty set)
@@ -241,6 +263,10 @@ def ngram_jaccard_pairs(
             sh.join(hot, "shingle")
             .groupBy("id").agg(F.collect_set("shingle").alias("_hot"))
         )
+        if eager:
+            # joined below once for the ``a`` side and once for ``b``
+            doc_hot = doc_hot.persist()
+            extra_caches.append(doc_hot)
     else:
         cand_sh, doc_hot = sh, None
     a, b = cand_sh.alias("a"), cand_sh.alias("b")
@@ -274,7 +300,10 @@ def ngram_jaccard_pairs(
         )
     )
     out = out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
-    return _finish_pairs(out, sh, eager, owns)
+    out = _finish_pairs(out, sh, eager, owns)
+    for c in extra_caches:  # dead after the eager barrier materialized out
+        c.unpersist(blocking=False)
+    return out
 
 
 def winnow_dup_pairs(
@@ -317,6 +346,7 @@ def winnow_dup_pairs(
     if eager:
         fps = fps.persist()
     use = fps
+    rare_cache = None
     if max_df is not None:
         rare = (
             fps.groupBy("fp").agg(F.count("*").alias("_df"))
@@ -324,6 +354,11 @@ def winnow_dup_pairs(
             .select("fp")
         )
         use = fps.join(rare, "fp")
+        if eager:
+            # the df-filter join sits under both candidate self-join
+            # sides; without a cache each side re-runs the df aggregation
+            # and the join (no exchange reuse across aliased sides)
+            use = rare_cache = use.persist()
     a, b = use.alias("a"), use.alias("b")
     out = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -332,7 +367,10 @@ def winnow_dup_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
-    return _finish_pairs(out, fps, eager)
+    out = _finish_pairs(out, fps, eager)
+    if rare_cache is not None:
+        rare_cache.unpersist(blocking=False)
+    return out
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -421,7 +459,6 @@ def connected_components(
                     F.least(F.col("_mn"), F.col("x")).alias("comp"),
                     (F.col("_mn") < F.col("x")).alias("_chg"),
                 )
-                .localCheckpoint()
             )
         else:
             # one join + one groupBy: the self-loop row (flagged ``_s``)
@@ -444,12 +481,17 @@ def connected_components(
                     F.col("x").alias("id"), "comp",
                     (F.col("comp") < F.col("_old")).alias("_chg"),
                 )
-                .localCheckpoint()
             )
-        # The changed flag rides INSIDE the checkpointed frame, so the
-        # convergence check is a filter-count scan of the fresh
-        # checkpoint blocks — never an extra shuffle join
-        changed = upd.filter(F.col("_chg")).count()
+        # The changed count rides on the checkpoint action itself
+        # (CollectMetrics fires under Dataset.checkpoint's withAction),
+        # so each round is ONE driver action, not checkpoint + count —
+        # at small edge counts the loop is driver-latency-bound and the
+        # second job per round was pure scheduling overhead
+        obs = Observation()
+        upd = upd.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("n_chg")
+        ).localCheckpoint()
+        changed = int(obs.get["n_chg"] or 0)
         prev_ck = labels_ck
         labels_ck = upd
         labels = upd.drop("_chg")
@@ -505,13 +547,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    obs0 = Observation()
     e = (
         pairs.select(F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n_edges = e.count()
+    n_edges = int(obs0.get["n"])
     rounds = 0
     for _ in range(max_iter):
         if n_edges == 0:
@@ -533,6 +577,7 @@ def connected_components_star(
         # small-star on the directed edges: every node of u's closed
         # smaller-neighborhood links to u's min neighbor
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation()
         small = (
             large.join(mins2, "u")
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
@@ -540,9 +585,12 @@ def connected_components_star(
             .filter(F.col("x") != F.col("y"))
             .select(F.col("x").alias("u"), F.col("y").alias("v"))
             .distinct()
+            # edge count observed on the checkpoint action itself — one
+            # driver job per phase pair instead of checkpoint + count
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_new = small.count()
+        n_new = int(obs.get["n"])
         unchanged = (
             n_new == n_edges
             and small.join(e, ["u", "v"], "left_anti").isEmpty()
