@@ -36,10 +36,16 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from httpz_spark.functions.hashing import hash_partition_remap
 from httpz_spark.functions.warcx import (mark_revisits, surt_key,
                                          warc_conversion_record,
                                          warc_metadata_record, warc_record,
                                          warc_record_auto)
+
+# direct-routing cap: the murmur-inverse lookup rides the plan as an
+# n_files-element literal array; past this it degrades the plan more than
+# the saved sampling job is worth and range partitioning takes over
+_REMAP_MAX = 4096
 
 CDX_SCHEMA = (
     "surt string, url string, date string, status int, mime string, "
@@ -164,17 +170,36 @@ def write_records(rec: DataFrame, path: str, n_files: int,
     # (date, digest) break ties when one URL has several captures
     # (multi-epoch/revisit archives) so the layout is a TOTAL order —
     # a retried/speculative task re-sorts identically and os.replace
-    # swaps in byte-identical files.  Range partitioning, not hash:
-    # warc_file has EXACTLY n_files distinct values, and pmod(hash(v),
-    # n_files) over n_files values leaves ~1/e of tasks empty while
-    # piling 2-3 files onto others (the too-few-distinct-keys skew
-    # class) — the write stage then runs at the speed of its 3-file
-    # straggler.  Range boundaries put ~one file per task; file CONTENT
-    # is placement-independent (equal keys stay co-located and the
-    # per-file byte layout comes from the total sort order).
-    rec = (rec.repartitionByRange(n_files, "warc_file")
-              .sortWithinPartitions("warc_file", "surt", "url", "date",
-                                    "digest"))
+    # swaps in byte-identical files.  Routing: warc_file has EXACTLY
+    # n_files distinct values, so a naive pmod(hash(v), n_files) leaves
+    # ~1/e of tasks empty while piling 2-3 files onto others (the
+    # too-few-distinct-keys skew class), and repartitionByRange fixes
+    # the balance but runs a range-SAMPLING job that re-evaluates the
+    # whole upstream once more (payload digests, SURT keys — or an
+    # entire fetched wave when the caller's frame is lazy).  Instead the
+    # file index (the digits warc_file_assign puts in the name) is
+    # remapped through a driver-solved murmur-inverse table so a plain
+    # hash repartition sends file i to partition i exactly: one-task-per
+    # -file balance, ZERO extra jobs.  File CONTENT is placement-
+    # independent (equal keys stay co-located and the per-file byte
+    # layout comes from the total sort order), so a non-standard
+    # warc_file name — no trailing digits, an index beyond n_files —
+    # falls back to hashing the name itself: still correct, just
+    # hash-balanced.  Beyond _REMAP_MAX files the literal lookup array
+    # stops being a sane expression and range partitioning returns.
+    if n_files <= _REMAP_MAX:
+        remap = hash_partition_remap(n_files)
+        idx = F.regexp_extract(F.col("warc_file"), "([0-9]+)$", 1)
+        idx = F.when(idx != "", idx.cast("long")).otherwise(
+            F.pmod(F.xxhash64(F.col("warc_file")), F.lit(n_files)))
+        route = F.element_at(
+            F.array(*[F.lit(int(v)) for v in remap]),
+            (F.pmod(idx, F.lit(n_files)) + 1).cast("int"))
+        rec = rec.repartition(n_files, route.alias("_route"))
+    else:
+        rec = rec.repartitionByRange(n_files, "warc_file")
+    rec = rec.sortWithinPartitions("warc_file", "surt", "url", "date",
+                                   "digest")
     if record is not None:
         # map-side framing below the exchange's consumer: a projection
         # preserves the sort order and partitioning established above
